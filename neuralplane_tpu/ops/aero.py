@@ -1,0 +1,93 @@
+"""Stacked F-16 aerodynamic-coefficient surrogate query.
+
+The reference evaluates 43 separate tiny torch MLPs sequentially per dynamics
+call (`envs/models/F16/hifi_F16_AeroData.py:748-819`). Here all 43 surrogates
+are pre-padded offline (tools/convert_aero_weights.py) to one exact common
+architecture [3 -> 20 -> 20 -> 10 -> 1], so the whole aero query is FOUR
+batched einsums over a [K=43] stacked weight pytree - one fused XLA
+computation that the compiler maps onto the MXU, instead of 43 kernel
+launches. Input z-scoring and output un-scaling are folded into the first and
+last layers, so the query consumes raw (alpha_deg, beta_deg, el_deg).
+
+A fused Pallas kernel (ops/aero_pallas.py) implements the same contraction
+keeping all intermediates in VMEM; this module is the reference path and the
+weight container.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "f16_aero.npz")
+
+# Canonical coefficient order (must match tools/convert_aero_weights.py NETS).
+AERO_NAMES = (
+    "Cx", "Cz", "Cm", "Cy", "Cn", "Cl",
+    "Cxq", "Cyr", "Cyp", "Czq", "Clr", "Clp", "Cmq", "Cnr", "Cnp",
+    "delta_Cx_lef", "delta_Cz_lef", "delta_Cm_lef", "delta_Cy_lef",
+    "delta_Cn_lef", "delta_Cl_lef",
+    "delta_Cxq_lef", "delta_Cyr_lef", "delta_Cyp_lef", "delta_Czq_lef",
+    "delta_Clr_lef", "delta_Clp_lef", "delta_Cmq_lef", "delta_Cnr_lef",
+    "delta_Cnp_lef",
+    "delta_Cy_r30", "delta_Cn_r30", "delta_Cl_r30",
+    "delta_Cy_a20", "delta_Cy_a20_lef", "delta_Cn_a20", "delta_Cn_a20_lef",
+    "delta_Cl_a20", "delta_Cl_a20_lef",
+    "delta_Cnbeta", "delta_Clbeta", "delta_Cm", "eta_el",
+)
+IDX = {name: i for i, name in enumerate(AERO_NAMES)}
+K = len(AERO_NAMES)
+
+
+class AeroWeights(NamedTuple):
+    """Stacked surrogate weights; all arrays lead with the net axis K=43."""
+    W1: jnp.ndarray  # [K, 3, 20]
+    b1: jnp.ndarray  # [K, 20]
+    W2: jnp.ndarray  # [K, 20, 20]
+    b2: jnp.ndarray  # [K, 20]
+    W3: jnp.ndarray  # [K, 20, 10]
+    b3: jnp.ndarray  # [K, 10]
+    W4: jnp.ndarray  # [K, 10]
+    b4: jnp.ndarray  # [K]
+
+
+@functools.lru_cache(maxsize=2)
+def _load_np(path: str = _DATA_PATH):
+    with np.load(path) as z:
+        names = [str(n) for n in z["names"]]
+        assert tuple(names) == AERO_NAMES, "f16_aero.npz order mismatch - regenerate"
+        return {k: z[k] for k in ("W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4")}
+
+
+def load_aero_weights(path: str = _DATA_PATH, dtype=jnp.float32) -> AeroWeights:
+    raw = _load_np(path)
+    return AeroWeights(**{k: jnp.asarray(v, dtype=dtype) for k, v in raw.items()})
+
+
+def aero_coeffs(w: AeroWeights, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
+    """Evaluate all 43 aero coefficients.
+
+    Args:
+        w: stacked weights.
+        alpha_deg, beta_deg, el_deg: [n] raw angle-of-attack / sideslip /
+            elevator deflection in degrees (matching the reference's query
+            units, `envs/models/F16/F16_dynamics.py:85-86,140`).
+
+    Returns:
+        [n, K] coefficient matrix, column order = AERO_NAMES.
+    """
+    x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=-1)        # [n, 3]
+    # Layer 1 has no K-dependence on the input, so flatten K into the output
+    # feature dim: one [n,3] @ [3, K*20] matmul.
+    n = x.shape[0]
+    h = jnp.maximum(
+        x @ w.W1.transpose(1, 0, 2).reshape(3, K * 20)
+        + w.b1.reshape(K * 20), 0.0).reshape(n, K, 20)
+    h = jnp.maximum(jnp.einsum("nki,kij->nkj", h, w.W2) + w.b2, 0.0)  # [n,K,20]
+    h = jnp.maximum(jnp.einsum("nki,kij->nkj", h, w.W3) + w.b3, 0.0)  # [n,K,10]
+    y = jnp.einsum("nki,ki->nk", h, w.W4) + w.b4                      # [n,K]
+    return y

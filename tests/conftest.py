@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(mesh/pjit/shard_map) are exercised without TPU hardware. Must be set before
+jax initializes its backends.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
