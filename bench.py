@@ -1,0 +1,45 @@
+"""Headline benchmark: F-16 heading-env step latency at 10^6 aircraft.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <s/step at n=1e6>, "unit": "s/step",
+   "vs_baseline": <reference_time / our_time, i.e. speedup, >1 is better>}
+
+Reference baseline: 0.2103 s/step at n=10^6 on the reference's (unspecified)
+GPU - BASELINE.md / envs/measure_env/time_neuralplane.npy.
+
+Usage: python bench.py [--n 1000000] [--steps 100] [--sweep]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+BASELINE_S_PER_STEP_1M = 0.2103
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also print the 10^0..10^6 sweep to stderr")
+    args = ap.parse_args()
+
+    from neuralplane_tpu.measure import measure_env_step, measure_sweep
+
+    if args.sweep:
+        for row in measure_sweep(steps=min(args.steps, 500)):
+            print(json.dumps(row), file=sys.stderr)
+
+    res = measure_env_step(args.n, steps=args.steps)
+    print(json.dumps({
+        "metric": "f16_heading_env_step_1M_agents",
+        "value": round(res["s_per_step"], 6),
+        "unit": "s/step",
+        "vs_baseline": round(BASELINE_S_PER_STEP_1M / res["s_per_step"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

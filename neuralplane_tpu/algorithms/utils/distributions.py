@@ -1,0 +1,97 @@
+"""Action distributions as lightweight array pytrees.
+
+Functional analogues of the reference's torch.distributions wrappers
+(`algorithms/utils/distributions.py`): each distribution is a NamedTuple of
+parameter arrays with sample/mode/log_prob/entropy methods; `log_prob` sums
+over the action dimension with keepdim, matching the reference's
+`log_probs` contract ([N, A] -> [N, 1]).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+LOG_2PI = jnp.log(2.0 * jnp.pi)
+
+
+class DiagGaussian(NamedTuple):
+    mean: jnp.ndarray     # [N, A]
+    log_std: jnp.ndarray  # [A] or [N, A]
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        std = jnp.exp(self.log_std)
+        return self.mean + std * jax.random.normal(key, self.mean.shape,
+                                                   self.mean.dtype)
+
+    def mode(self) -> jnp.ndarray:
+        return self.mean
+
+    def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
+        log_std = jnp.broadcast_to(self.log_std, self.mean.shape)
+        z = (actions - self.mean) * jnp.exp(-log_std)
+        lp = -0.5 * (z * z + LOG_2PI) - log_std
+        return jnp.sum(lp, axis=-1, keepdims=True)
+
+    def entropy(self) -> jnp.ndarray:
+        log_std = jnp.broadcast_to(self.log_std, self.mean.shape)
+        return jnp.sum(0.5 * (1.0 + LOG_2PI) + log_std, axis=-1, keepdims=True)
+
+
+class Categorical(NamedTuple):
+    logits: jnp.ndarray  # [N, K]
+
+    @property
+    def probs(self) -> jnp.ndarray:
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        return jax.random.categorical(key, self.logits, axis=-1)[..., None]
+
+    def mode(self) -> jnp.ndarray:
+        return jnp.argmax(self.logits, axis=-1, keepdims=True)
+
+    def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        idx = actions.astype(jnp.int32).squeeze(-1)
+        return jnp.take_along_axis(logp, idx[..., None], axis=-1)
+
+    def entropy(self) -> jnp.ndarray:
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return -jnp.sum(jnp.exp(logp) * logp, axis=-1, keepdims=True)
+
+
+class Bernoulli(NamedTuple):
+    """Parameterized by probabilities (the shoot head passes p directly)."""
+    probs: jnp.ndarray  # [N, K]
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        u = jax.random.uniform(key, self.probs.shape)
+        return (u < self.probs).astype(jnp.float32)
+
+    def mode(self) -> jnp.ndarray:
+        return (self.probs > 0.5).astype(jnp.float32)
+
+    def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
+        p = jnp.clip(self.probs, 1e-6, 1.0 - 1e-6)
+        lp = actions * jnp.log(p) + (1.0 - actions) * jnp.log1p(-p)
+        return jnp.sum(lp, axis=-1, keepdims=True)
+
+    def entropy(self) -> jnp.ndarray:
+        p = jnp.clip(self.probs, 1e-6, 1.0 - 1e-6)
+        h = -(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
+        return jnp.sum(h, axis=-1, keepdims=True)
+
+
+def beta_shoot_probability(raw: jnp.ndarray, alpha0: jnp.ndarray,
+                           beta0: jnp.ndarray) -> jnp.ndarray:
+    """Beta-prior shoot probability (reference BetaShootBernoulli,
+    `distributions.py:107-129`): network outputs two softplus-constrained
+    pseudo-counts in [0, 100]; prior pseudo-counts (alpha0, beta0) come from
+    attack-angle/distance heuristics; p = (a + a0) / (a + a0 + b + b0)."""
+    x = jax.nn.softplus(raw)
+    x = 100.0 - jax.nn.softplus(100.0 - x)
+    alpha = 1.0 + x[..., 0:1]
+    beta = 1.0 + x[..., 1:2]
+    return (alpha + alpha0) / (alpha + alpha0 + beta + beta0)

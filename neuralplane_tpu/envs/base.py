@@ -1,0 +1,128 @@
+"""Functional environment core.
+
+The reference's `BaseEnv.step` (`envs/env_base.py:99-109`) mutates member
+tensors and auto-resets done rows at the top of each step. Here the whole
+environment is a pure function pair:
+
+    reset(key)        -> (EnvState, obs)
+    step(state, action) -> (EnvState, StepOutput)
+
+both jit-compiled into single fused XLA programs. Auto-reset is a masked
+where-select (the reference already does masked reset, which maps directly).
+The state derivative `xdot` is computed ONCE per step and threaded to every
+consumer (termination overload check etc.) - the reference recomputes
+nlplant in each getter (SURVEY.md S3.1 hot-loop note).
+
+Done-flag semantics (parity): flags accumulate during a step from zero after
+auto-reset, so the flags in StepOutput are exactly this step's termination
+outputs; `is_done` means "goal reached" (target resample + bonus), `bad_done`
+ends the episode, `exceed_time_limit` is truncation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.f16 import F16Model
+from ..models.uav import UAVModel
+from ..ops.aero import load_aero_weights
+from ..utils.config import EnvConfig, load_config
+from .tasks import TASKS
+from .types import EnvState, StepOutput
+
+MODELS = {"F16": F16Model, "UAV": UAVModel}
+
+
+class Env:
+    """Config + model + task bound together; all methods are pure."""
+
+    def __init__(self, num_envs: int, config: str | EnvConfig = "heading",
+                 task: str = "heading", model: str = "F16"):
+        self.config = config if isinstance(config, EnvConfig) else load_config(config)
+        self.num_envs = num_envs
+        self.num_agents = self.config.num_agents
+        self.n = self.num_envs * self.num_agents
+        weights = load_aero_weights() if model == "F16" else None
+        self.model = MODELS[model](self.config, weights)
+        self.task = TASKS[task](self.config)
+
+    # --- properties mirroring the reference env API ---
+    @property
+    def num_observation(self) -> int:
+        return self.task.num_observation
+
+    @property
+    def num_actions(self) -> int:
+        return self.task.num_actions
+
+    def init_state(self, key: jax.Array) -> EnvState:
+        """All-done initial state; the first (auto-)reset re-inits every row."""
+        n = self.n
+        ones = jnp.ones(n, dtype=bool)
+        return EnvState(
+            model=self.model.init_state(n),
+            task=self.task.init_state(n),
+            step_count=jnp.zeros(n, dtype=jnp.int32),
+            is_done=ones, bad_done=ones, exceed_time_limit=ones,
+            key=key,
+        )
+
+    def _masked_reset(self, state: EnvState) -> EnvState:
+        """Re-init rows whose any done flag is set; zero flags and counters."""
+        mask = state.is_done | state.bad_done | state.exceed_time_limit
+        key, k_model, k_task = jax.random.split(state.key, 3)
+        mstate = self.model.reset(state.model, mask, k_model)
+        tstate = self.task.reset(self.model, mstate, state.task, mask, k_task)
+        zeros = jnp.zeros_like(state.is_done)
+        return EnvState(
+            model=mstate, task=tstate,
+            step_count=jnp.where(mask, 0, state.step_count),
+            is_done=zeros, bad_done=zeros, exceed_time_limit=zeros,
+            key=key,
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jnp.ndarray]:
+        state = self._masked_reset(self.init_state(key))
+        key, k_obs = jax.random.split(state.key)
+        state = state.replace(key=key)
+        obs = self.task.get_obs(self.model, state.model, state.task, k_obs)
+        return state, obs
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, action: jnp.ndarray
+             ) -> Tuple[EnvState, StepOutput]:
+        # 1. auto-reset rows finished on the previous step
+        state = self._masked_reset(state)
+        # 2. advance dynamics
+        mstate = self.model.update(state.model, action)
+        step_count = state.step_count + 1
+        # 3. observation (with sensor noise)
+        key, k_obs = jax.random.split(state.key)
+        obs = self.task.get_obs(self.model, mstate, state.task, k_obs)
+        # 4. terminations - xdot computed once, shared by all consumers
+        xdot = self.model.extended_state(mstate)
+        done, bad, exceed = self.task.get_termination(
+            self.model, mstate, xdot, step_count, state.task)
+        # 5. reward (event-driven part consumes this step's flags)
+        reward = self.task.get_reward(self.model, mstate, state.task, done, bad)
+        new_state = EnvState(
+            model=mstate, task=state.task, step_count=step_count,
+            is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,
+        )
+        out = StepOutput(obs=obs, reward=reward, done=done, bad_done=bad,
+                         exceed_time_limit=exceed)
+        return new_state, out
+
+
+class ControlEnv(Env):
+    """Single-agent control env factory: model in {F16, UAV}, task in
+    {heading, control, tracking} (parity: `envs/control_env.py:12-35`)."""
+
+    def __init__(self, num_envs: int = 10, config: str = "heading",
+                 model: str = "F16"):
+        task = config if isinstance(config, str) else "heading"
+        super().__init__(num_envs, config=config, task=task, model=model)

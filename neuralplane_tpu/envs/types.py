@@ -1,0 +1,32 @@
+"""Environment state/output pytrees."""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EnvState:
+    """Full simulator state: one immutable pytree, sharded on the agent axis."""
+    model: Any            # vehicle state pytree (models.F16State)
+    task: Any             # task target pytree
+    step_count: jnp.ndarray          # [n] int32
+    is_done: jnp.ndarray             # [n] bool - goal reached (resample+bonus)
+    bad_done: jnp.ndarray            # [n] bool - constraint violation
+    exceed_time_limit: jnp.ndarray   # [n] bool - truncation
+    key: jax.Array                   # PRNG key threaded through steps
+
+
+@struct.dataclass
+class StepOutput:
+    """Per-step outputs, mirroring the reference's 6-tuple
+    (obs, reward, done, bad_done, exceed_time_limit, info) at
+    `envs/env_base.py:99-109`; info is a dict of on-device counters."""
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    bad_done: jnp.ndarray
+    exceed_time_limit: jnp.ndarray

@@ -1,0 +1,59 @@
+"""Throughput measurement harness (the reference measure_env.py equivalent).
+
+Times the full env step (auto-reset + dynamics + obs + termination + reward)
+at agent counts n = 10^0 .. 10^6, reporting wall time for 500 steps and
+per-step latency, plus device memory when available. Timing uses
+block_until_ready on the final state, and mirrors the reference protocol
+(`envs/measure_env.py:65-78`): a host loop around one compiled step with a
+fixed near-trim action, after a warmup step that triggers compilation.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from .envs import ControlEnv
+
+
+def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
+                     model: str = "F16", double_buffer: bool = False) -> Dict:
+    """Wall-time `steps` env steps at batch size n. Returns timing dict."""
+    env = ControlEnv(num_envs=n, config=scenario, model=model)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # near-trim action: full throttle command, neutral surfaces (the reference
+    # passes raw INIT_U controls which clamp to ~[1, 0, 0, 0]).
+    action = jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]], dtype=jnp.float32), (env.n, 1))
+
+    # warmup/compile
+    state, out = env.step(state, action)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, out = env.step(state, action)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    mem_mb = float("nan")
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            mem_mb = stats["bytes_in_use"] / 1024 ** 2
+    except Exception:
+        pass
+
+    return {
+        "n": n,
+        "steps": steps,
+        "elapsed_s": elapsed,
+        "s_per_step": elapsed / steps,
+        "agent_steps_per_s": n * steps / elapsed,
+        "device_mem_mb": mem_mb,
+    }
+
+
+def measure_sweep(max_exp: int = 6, steps: int = 500) -> List[Dict]:
+    return [measure_env_step(10 ** e, steps=steps) for e in range(max_exp + 1)]

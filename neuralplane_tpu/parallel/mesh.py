@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The framework's parallelism model (SURVEY.md S2 P1-P3): the env/agent batch
+axis is embarrassingly parallel (the only cross-agent coupling - combat
+pairing - is local to an env group, so sharding on the env axis keeps it
+on-shard). We shard every leading-[n] array over a 1-D 'dp' mesh axis and
+replicate the (tiny) policy; PPO gradients are all-reduced by XLA via the
+sharded jit. Multi-host runs extend the same mesh over
+jax.distributed-initialized processes; collectives ride ICI within a host
+slice and DCN across hosts.
+
+The reference has no distributed backend at all (single GPU, one big batch);
+these helpers are the TPU-native capability it lacked.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "dp") -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "dp"):
+    """Place an array with its leading (agent) axis sharded over the mesh."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    """Fully replicate a pytree (policy params, etc.) over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_env_state(state, mesh: Mesh, axis_name: str = "dp"):
+    """Shard an EnvState pytree: leading-[n] arrays split over axis_name,
+    the PRNG key replicated."""
+    n = state.step_count.shape[0]
+
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n:
+            return shard_batch(leaf, mesh, axis_name)
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, state)
