@@ -1,0 +1,93 @@
+"""Base runner: policy/trainer/state ownership, checkpointing, logging.
+
+Counterpart of the reference `Runner` (`runner/base_runner.py:15-105`), with
+two deliberate upgrades: (1) checkpoints carry optimizer + RNG state (the
+reference saves only actor/critic weights); (2) metrics go to a JSONL file
+plus, when torch is importable, a tensorboard SummaryWriter - same scalars
+the reference logs.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..algorithms.ppo import PPOPolicy, PPOTrainer, TrainState
+from ..algorithms.rl_config import RLConfig
+from ..utils.checkpoint import load_pytree, save_pytree
+
+
+class Runner:
+    def __init__(self, env, cfg: RLConfig, run_dir: str = "runs/debug",
+                 eval_env=None, model_dir: Optional[str] = None,
+                 use_tensorboard: bool = False):
+        self.env = env
+        self.eval_env = eval_env
+        self.cfg = cfg
+        self.run_dir = run_dir
+        self.save_dir = os.path.join(run_dir, "checkpoints")
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+        self.trainer = PPOTrainer(cfg, self.policy)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k_params = jax.random.split(key)
+        params = self.policy.init_params(k_params)
+        self.train_state: TrainState = self.trainer.init_state(params)
+        if model_dir is not None:
+            self.restore(model_dir)
+
+        self._log_file = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(run_dir)
+            except Exception:
+                pass
+        self._t0 = time.time()
+
+    # ---- training hooks (subclasses implement collect/run) ----
+    def next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def train(self, batch) -> Dict[str, float]:
+        self.train_state, metrics = self.trainer.train(
+            self.train_state, batch, self.next_key())
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ---- persistence ----
+    def save(self, tag: str = "latest") -> str:
+        path = os.path.join(self.save_dir, f"state_{tag}.pkl")
+        save_pytree(path, {"train_state": self.train_state, "key": self.key})
+        return path
+
+    def restore(self, path: str) -> None:
+        if os.path.isdir(path):
+            path = os.path.join(path, "checkpoints", "state_latest.pkl")
+        blob = load_pytree(path)
+        restored = jax.tree_util.tree_map(jnp.asarray, blob["train_state"])
+        self.train_state = TrainState(**{
+            f: getattr(restored, f) for f in ("params", "opt_state", "step")})
+        self.key = jnp.asarray(blob["key"])
+
+    # ---- logging ----
+    def log_info(self, infos: Dict[str, float], total_num_steps: int) -> None:
+        rec = {"step": int(total_num_steps),
+               "wall_s": round(time.time() - self._t0, 2), **infos}
+        self._log_file.write(json.dumps(rec) + "\n")
+        self._log_file.flush()
+        if self._tb is not None:
+            for k, v in infos.items():
+                self._tb.add_scalar(k, v, total_num_steps)
+
+    def close(self) -> None:
+        self._log_file.close()
+        if self._tb is not None:
+            self._tb.close()
