@@ -1,0 +1,19 @@
+from .config import (PIDGains, RateControllerConfig, TECSConfig, L1Config,
+                     ControllerConfig)
+from .pid import PIDState, pid_init, pid_update_all
+from .attitude import (RateState, rate_init, roll_servo_out, pitch_servo_out,
+                       yaw_rate_out)
+from .tecs import TECSState, tecs_init, tecs_update_pitch_throttle
+from .l1 import (L1State, l1_init, l1_update_waypoint, l1_update_loiter,
+                 l1_update_heading_hold, l1_update_level_flight, l1_nav_roll)
+from .controller import Controller, ControllerState, FlightData, flight_data
+
+__all__ = [
+    "PIDGains", "RateControllerConfig", "TECSConfig", "L1Config",
+    "ControllerConfig", "PIDState", "pid_init", "pid_update_all",
+    "RateState", "rate_init", "roll_servo_out", "pitch_servo_out",
+    "yaw_rate_out", "TECSState", "tecs_init", "tecs_update_pitch_throttle",
+    "L1State", "l1_init", "l1_update_waypoint", "l1_update_loiter",
+    "l1_update_heading_hold", "l1_update_level_flight", "l1_nav_roll",
+    "Controller", "ControllerState", "FlightData", "flight_data",
+]

@@ -1,0 +1,116 @@
+"""Classical control suite tests: PID core semantics + closed-loop behavior.
+
+No numeric goldens exist for the reference controllers (they hardcode
+cuda:0 and cannot run here), so the contract is behavioral: the full
+PID+TECS+L1 stack flown closed-loop on the F-16 dynamics must capture a
+demanded heading and hold demanded altitude/airspeed - the same hierarchical
+control role it plays in the reference combat envs
+(`envs/singlecombat_env.py:240-261`) and `renders/render_control.py`.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralplane_tpu.algorithms.pid import (Controller, FlightData, PIDGains,
+                                            flight_data, pid_init,
+                                            pid_update_all)
+from neuralplane_tpu.envs import ControlEnv
+from neuralplane_tpu.utils.math import wrap_PI
+
+
+def test_pid_core_semantics():
+    g = PIDGains(Kp=2.0, Ki=1.0, Kd=0.1, Kff=0.5, Kimax=0.3, dt=0.1)
+    st = pid_init(3)
+    target = jnp.array([1.0, -1.0, 0.0])
+    meas = jnp.zeros(3)
+    no_limit = jnp.zeros(3, bool)
+
+    # first call: derivative must be 0 (reset latch), integrator = e*Ki*dt
+    st, out = pid_update_all(g, st, target, meas, no_limit)
+    np.testing.assert_allclose(np.asarray(st.derivative), 0.0)
+    np.testing.assert_allclose(np.asarray(st.integrator),
+                               np.array([0.1, -0.1, 0.0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.array([2.1, -2.1, 0.0]), rtol=1e-6)
+
+    # second call: derivative on error change
+    st2, _ = pid_update_all(g, st, target, jnp.array([0.5, -0.5, 0.0]),
+                            no_limit)
+    np.testing.assert_allclose(np.asarray(st2.derivative),
+                               np.array([-5.0, 5.0, 0.0]), rtol=1e-6)
+
+    # anti-windup (pid.py:36-38): when output-limited, only rows whose
+    # error*dt < 0 keep integrating (positive-error row 0 freezes,
+    # negative-error row 1 keeps winding down, zero-error row 2 unchanged)
+    limited = jnp.ones(3, bool)
+    st3, _ = pid_update_all(g, st2, target, meas, limited)
+    np.testing.assert_allclose(np.asarray(st3.integrator),
+                               np.array([0.15, -0.25, 0.0]), rtol=1e-6)
+
+    # Kimax clamp
+    st4 = st
+    for _ in range(20):
+        st4, _ = pid_update_all(g, st4, target, meas, no_limit)
+    assert float(jnp.abs(st4.integrator).max()) <= 0.3 + 1e-6
+
+
+def _fly(num_steps: int, heading_dem: float, alt_offset: float,
+         tas_dem: float):
+    """Closed-loop: L1 heading-hold -> TECS -> attitude PIDs -> F-16 dynamics."""
+    env = ControlEnv(num_envs=2, config="heading")
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    ctl = Controller(dt=env.config.dt)
+    model = env.model
+    mstate = state.model
+    _, _, alt0 = model.get_position(mstate)
+    hgt_dem = alt0 + alt_offset
+
+    def body(carry, _):
+        cst, mstate = carry
+        xdot = model.extended_state(mstate)
+        data = flight_data(model, mstate, xdot)
+        _, _, alt = model.get_position(mstate)
+        cst = ctl.update_heading_hold(
+            cst, jnp.full((env.n,), heading_dem), data)
+        cst = ctl.cal_pitch_throttle(cst, hgt_dem,
+                                     jnp.full((env.n,), tas_dem), alt, data)
+        cst = ctl.stabilize(cst, data)
+        act = jnp.clip(ctl.get_action(cst), -1.0, 1.0)
+        mstate = model.update(mstate, act)
+        return (cst, mstate), None
+
+    (cst, mstate), _ = jax.lax.scan(body, (ctl.init_state(env.n), mstate),
+                                    None, length=num_steps)
+    return env, mstate
+
+
+def test_heading_hold_converges():
+    env, mstate = _fly(num_steps=1500, heading_dem=0.5, alt_offset=0.0,
+                       tas_dem=1100.0)
+    s = np.asarray(mstate.s)
+    assert np.isfinite(s).all()
+    yaw_err = np.abs(np.asarray(wrap_PI(jnp.asarray(s[:, 5] - 0.5))))
+    assert (yaw_err < 0.15).all(), f"yaw error {yaw_err} after 30s"
+    # wings roughly level once captured
+    assert (np.abs(s[:, 3]) < 0.4).all(), f"roll {s[:, 3]}"
+
+
+def test_tecs_holds_altitude_and_speed():
+    env, mstate = _fly(num_steps=1500, heading_dem=0.0, alt_offset=0.0,
+                       tas_dem=1100.0)
+    s = np.asarray(mstate.s)
+    alt = s[:, 2]
+    assert ((alt > 18000) & (alt < 21000)).all(), f"altitude drifted: {alt}"
+    vt = s[:, 6]
+    assert (np.abs(vt - 1100.0) < 150.0).all(), f"vt {vt}"
+
+
+def test_controller_reset_masks_rows():
+    env = ControlEnv(num_envs=3, config="heading")
+    ctl = Controller(dt=env.config.dt)
+    cst = ctl.init_state(env.n)
+    cst = cst.replace(roll_dem=jnp.ones(env.n), el=jnp.full((env.n,), 5.0))
+    mask = jnp.array([True, False, True])
+    out = ctl.reset(cst, mask)
+    np.testing.assert_allclose(np.asarray(out.roll_dem), [0.0, 1.0, 0.0])
+    np.testing.assert_allclose(np.asarray(out.el), [0.0, 5.0, 0.0])
