@@ -1,0 +1,50 @@
+"""Self-play opponent sampling: SP / FSP / PFSP + ELO bookkeeping.
+
+Parity with the reference `algorithms/utils/selfplay.py:6-64` (choose) and
+the ELO update embedded in `runner/selfplay_F16sim_runner.py:218-241`
+(K=32, win/tie/loss from episode-reward difference with a +-100 band).
+Host-side numpy - pool selection happens between jitted rollout programs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def choose_opponent(algo: str, pool_elo: Dict[str, float],
+                    rng: np.random.Generator, lam: float = 1.0,
+                    s: float = 100.0) -> str:
+    """Pick one opponent id from the pool."""
+    keys = list(pool_elo.keys())
+    if not keys:
+        raise ValueError("empty opponent pool")
+    if algo == "sp":        # latest (selfplay.py:27-31)
+        return keys[-1]
+    if algo == "fsp":       # uniform (selfplay.py:38-42)
+        return keys[rng.integers(len(keys))]
+    if algo == "pfsp":      # ELO-median logistic -> softmax meta-solver
+        elo = np.array(list(pool_elo.values()), dtype=np.float64)
+        probs = 1.0 / (1.0 + 10.0 ** (-(elo - np.median(elo)) / 400.0)) * s
+        k = float(len(probs) + 1)
+        z = np.exp(lam / k * probs)
+        return str(rng.choice(keys, p=z / z.sum()))
+    raise NotImplementedError(f"Unknown selfplay algorithm {algo!r}")
+
+
+def elo_update(ego_elo: float, opponent_elo: np.ndarray,
+               ego_rewards: np.ndarray, opponent_rewards: np.ndarray,
+               k_factor: float = 32.0, tie_band: float = 100.0
+               ) -> Tuple[float, np.ndarray]:
+    """ELO exchange vs a set of opponents (selfplay_F16sim_runner.py:218-234).
+
+    Returns (new_ego_elo, new_opponent_elos). Reward diff > tie_band -> the
+    opponent won; |diff| < tie_band -> tie.
+    """
+    opponent_elo = np.asarray(opponent_elo, dtype=np.float64)
+    expected = 1.0 / (1.0 + 10.0 ** ((opponent_elo - ego_elo) / 400.0))
+    diff = np.asarray(opponent_rewards) - np.asarray(ego_rewards)
+    actual = np.where(diff > tie_band, 1.0,
+                      np.where(np.abs(diff) < tie_band, 0.5, 0.0))
+    gain = k_factor * (actual - expected)
+    return float((ego_elo - gain).mean()), opponent_elo + gain

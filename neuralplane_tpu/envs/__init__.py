@@ -1,3 +1,4 @@
 from .base import Env, ControlEnv
+from .combat import CombatState, MultipleCombatEnv, SingleCombatEnv
 from .types import EnvState, StepOutput
 from .wrappers import GymVecEnv, make_control_vec_env

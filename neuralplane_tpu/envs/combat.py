@@ -1,0 +1,271 @@
+"""Self-play combat environments (1v1 and team-vs-team).
+
+Functional re-design of the reference `SingleCombatEnv`
+(`envs/singlecombat_env.py:24-321`) and `MultipleCombatEnv`
+(`envs/multiplecombat_env.py:24-271`). The reference combat envs are
+bit-rotted against their own BaseEnv (broken ctor contract, a
+`stabilize(self.s, ...)` call that doesn't match the Controller signature,
+full-reset from inside the inner loop - SURVEY.md S2 E4/E5 notes); this
+implementation encodes their documented intent against the Model interface:
+
+  step(action[n,4]) =
+    env-group masked auto-reset
+    -> inner_steps x { demand smoothing -> PID stabilize -> throttle lag
+                       -> dynamics integrate }           (5 for 1v1, 1 nvn)
+    -> 15-dim relative obs (singlecombat_env.py:66-138)
+    -> posture reward = orientation(AO,TA) * range(R) * 0.01 (:140-181)
+    -> blood damage orientation_fn(AO) * distance_fn(R)      (:263-271)
+    -> terminations incl. Crash (pairwise distance) and Shutdown (blood<=0)
+
+Team layout: within each env group of M agents, the first M/2 are the ego
+team and the last M/2 the enemy team; agent i pairs with agent i + M/2
+(for M=2 this is exactly the reference's even/odd interleave). AO/TA for the
+enemy agent are computed as (pi - TA_ego, pi - AO_ego), which equals its own
+aspect geometry identically; side_flag is sign-flipped (reference :118-125).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..algorithms.pid import Controller, ControllerState, flight_data
+from ..models.f16 import F16Model, THRUST_SCALE
+from ..ops.aero import load_aero_weights
+from ..utils.config import EnvConfig, load_config
+from ..utils.math import (PI, distance_fn, get2d_AO_TA_R, get_AO_TA_R,
+                          orientation_fn, orientation_reward, range_reward,
+                          wrap_PI)
+from . import terminations as X
+from .types import StepOutput
+
+FT = 0.3048
+
+
+@struct.dataclass
+class CombatState:
+    model: object                    # F16State
+    controller: ControllerState
+    blood: jnp.ndarray               # [n]
+    step_count: jnp.ndarray          # [n] int32
+    is_done: jnp.ndarray
+    bad_done: jnp.ndarray
+    exceed_time_limit: jnp.ndarray
+    key: jax.Array
+
+
+class SingleCombatEnv:
+    """1v1 self-play combat; `MultipleCombatEnv` subclasses for nvn."""
+
+    inner_steps = 5  # FDM steps per env step (singlecombat_env.py:244)
+
+    def __init__(self, num_envs: int = 1, config: str | EnvConfig = "selfplay"):
+        self.config = config if isinstance(config, EnvConfig) else load_config(config)
+        self.num_envs = num_envs
+        self.num_agents = self.config.num_agents
+        assert self.num_agents % 2 == 0, "combat needs an even team split"
+        self.n = num_envs * self.num_agents
+        self.model = F16Model(self.config, load_aero_weights())
+        self.controller = Controller(dt=self.config.dt)
+        self.num_observation = self.config.num_observation  # 15
+        self.num_actions = self.config.num_actions          # 4
+
+    # --- pairing helpers ---
+    def _opponent_index(self) -> jnp.ndarray:
+        """Global index of each agent's paired opponent."""
+        m = self.num_agents
+        within = (jnp.arange(m) + m // 2) % m
+        base = jnp.arange(self.num_envs)[:, None] * m
+        return (base + within[None, :]).reshape(-1)
+
+    def _ego_index(self) -> jnp.ndarray:
+        """Global indices of ego-team agents (first half of each group)."""
+        m = self.num_agents
+        base = jnp.arange(self.num_envs)[:, None] * m
+        return (base + jnp.arange(m // 2)[None, :]).reshape(-1)
+
+    # --- lifecycle ---
+    def init_state(self, key: jax.Array) -> CombatState:
+        ones = jnp.ones(self.n, dtype=bool)
+        return CombatState(
+            model=self.model.init_state(self.n),
+            controller=self.controller.init_state(self.n),
+            blood=jnp.full((self.n,), self.config.max_blood, jnp.float32),
+            step_count=jnp.zeros(self.n, jnp.int32),
+            is_done=ones, bad_done=ones, exceed_time_limit=ones, key=key)
+
+    def _masked_reset(self, state: CombatState) -> CombatState:
+        """Whole-env-group reset of any group with a raised flag
+        (`reset_done_envs`, singlecombat_env.py:207-238)."""
+        cfg = self.config
+        any_flag = state.is_done | state.bad_done | state.exceed_time_limit
+        group = jnp.any(any_flag.reshape(self.num_envs, self.num_agents),
+                        axis=1)
+        mask = jnp.repeat(group, self.num_agents)
+
+        key, k = jax.random.split(state.key)
+        ks = jax.random.split(k, 5)
+        n = self.n
+        s_new = jnp.zeros_like(state.model.s)
+        s_new = s_new.at[:, 0].set(jax.random.uniform(
+            ks[0], (n,), minval=cfg.min_npos, maxval=cfg.max_npos))
+        s_new = s_new.at[:, 1].set(jax.random.uniform(
+            ks[1], (n,), minval=cfg.min_epos, maxval=cfg.max_epos))
+        s_new = s_new.at[:, 2].set(jax.random.uniform(
+            ks[2], (n,), minval=cfg.min_altitude, maxval=cfg.max_altitude))
+        s_new = s_new.at[:, 5].set(jax.random.uniform(
+            ks[3], (n,), minval=cfg.min_heading, maxval=cfg.max_heading))
+        s_new = s_new.at[:, 6].set(jax.random.uniform(
+            ks[4], (n,), minval=cfg.min_vt, maxval=cfg.max_vt))
+        u_new = jnp.zeros_like(state.model.u).at[:, 0].set(cfg.init_T)
+
+        m = mask[:, None]
+        s = jnp.where(m, s_new, state.model.s)
+        u = jnp.where(m, u_new, state.model.u)
+        mstate = state.model.replace(
+            s=s, u=u,
+            recent_s=jnp.where(m, s, state.model.recent_s),
+            recent_u=jnp.where(m, u, state.model.recent_u))
+        zeros = jnp.zeros_like(state.is_done)
+        return CombatState(
+            model=mstate,
+            controller=self.controller.reset(state.controller, mask),
+            blood=jnp.where(mask, cfg.max_blood, state.blood),
+            step_count=jnp.where(mask, 0, state.step_count),
+            is_done=zeros, bad_done=zeros, exceed_time_limit=zeros, key=key)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reset(self, key: jax.Array) -> Tuple[CombatState, jnp.ndarray]:
+        state = self._masked_reset(self.init_state(key))
+        xdot = self.model.extended_state(state.model)
+        return state, self._obs(state, xdot)
+
+    # --- observation (singlecombat_env.py:66-138) ---
+    def _pair_geometry(self, state: CombatState, xdot: jnp.ndarray,
+                       planar: bool):
+        """(AO, TA, R, side) of each agent vs its opponent; enemy-side agents
+        get the reference's (pi - TA, pi - AO, R, -side) convention."""
+        opp = self._opponent_index()
+        pos = state.model.s[:, :3]
+        vel = xdot[:, :3]
+        fn = get2d_AO_TA_R if planar else get_AO_TA_R
+        m = self.num_agents
+        is_ego = (jnp.arange(self.n) % m) < (m // 2)
+        # compute with ego-role arguments for every agent, then correct
+        AO, TA, R, side = fn(pos, pos[opp], vel, vel[opp], return_side=True)
+        AO_e, TA_e, _, side_e = fn(pos[opp], pos, vel[opp], vel,
+                                   return_side=True)
+        AO = jnp.where(is_ego, AO, PI - TA_e)
+        TA = jnp.where(is_ego, TA, PI - AO_e)
+        side = jnp.where(is_ego, side, -side_e)
+        return AO, TA, R, side
+
+    def _obs(self, state: CombatState, xdot: jnp.ndarray) -> jnp.ndarray:
+        s = state.model.s
+        opp = self._opponent_index()
+        vu, vv, vw = self.model.get_velocity(state.model)
+        AO, TA, R, side = self._pair_geometry(state, xdot, planar=True)
+        return jnp.stack([
+            s[:, 2] * FT / 5000.0,
+            jnp.sin(s[:, 3]), jnp.cos(s[:, 3]),
+            jnp.sin(s[:, 4]), jnp.cos(s[:, 4]),
+            vu * FT / 340.0, vv * FT / 340.0, vw * FT / 340.0,
+            s[:, 6] * FT / 340.0,
+            (vu[opp] - vu) * FT / 340.0,
+            (s[opp, 2] - s[:, 2]) * FT / 1000.0,
+            AO, TA,
+            R * FT / 10000.0,
+            side,
+        ], axis=1)
+
+    # --- reward (singlecombat_env.py:140-181) ---
+    def _reward(self, state: CombatState, xdot: jnp.ndarray) -> jnp.ndarray:
+        AO, TA, R, _ = self._pair_geometry(state, xdot, planar=False)
+        orient = orientation_reward(AO, TA)
+        rng = range_reward(self.config.target_dist, R * FT / 1000.0)
+        return 0.01 * orient * rng
+
+    # --- termination (singlecombat_env.py:48-58) ---
+    def _termination(self, state: CombatState, xdot: jnp.ndarray):
+        cfg, model, mstate = self.config, self.model, state.model
+        opp = self._opponent_index()
+        conds = [
+            X.overload(cfg, model, mstate, xdot),
+            X.low_altitude(cfg, model, mstate),
+            X.high_speed(cfg, model, mstate),
+            X.low_speed(cfg, model, mstate),
+            X.extreme_state(cfg, model, mstate),
+            X.crash(cfg, mstate.s[:, :3], mstate.s[opp, :3]),
+            X.timeout(cfg, state.step_count),
+            X.shutdown(cfg, state.blood, state.blood[opp]),
+        ]
+        bad = functools.reduce(jnp.logical_or, [c[0] for c in conds])
+        done = functools.reduce(jnp.logical_or, [c[1] for c in conds])
+        exceed = functools.reduce(jnp.logical_or, [c[2] for c in conds])
+        return done, bad, exceed
+
+    # --- step ---
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: CombatState, action: jnp.ndarray
+             ) -> Tuple[CombatState, StepOutput]:
+        state = self._masked_reset(state)
+        action = jnp.clip(action, -1.0, 1.0)
+        cfg = self.config
+
+        def inner(carry, _):
+            mstate, cst = carry
+            xdot = self.model.extended_state(mstate)
+            data = flight_data(self.model, mstate, xdot)
+            # demand smoothing (singlecombat_env.py:246-250); yaw_rate demand
+            # stays 0 - the rudder loop damps yaw rate (reference sets a
+            # yaw_dem it never consumes)
+            cst = cst.replace(
+                roll_dem=0.9 * cst.roll_dem + 0.1 * action[:, 1] * 4 * PI / 9,
+                pitch_dem=0.9 * cst.pitch_dem + 0.1 * action[:, 2] * PI / 12,
+                yaw_dem=wrap_PI(mstate.s[:, 5] + action[:, 3] * PI / 60))
+            cst = self.controller.stabilize(cst, data)
+            T = 0.9 * mstate.u[:, 0] + 0.1 * action[:, 0] * THRUST_SCALE
+            u = jnp.stack([T, -cst.el, -cst.ail, -cst.rud,
+                           jnp.zeros_like(T)], axis=1)
+            mstate = self.model.raw_control_update(mstate, u)
+            return (mstate, cst), None
+
+        (mstate, cst), _ = jax.lax.scan(
+            inner, (state.model, state.controller), None,
+            length=self.inner_steps)
+
+        step_count = state.step_count + 1
+        xdot = self.model.extended_state(mstate)
+
+        # blood damage (singlecombat_env.py:263-271)
+        AO, TA, R, _ = self._pair_geometry(
+            state.replace(model=mstate), xdot, planar=False)
+        opp = self._opponent_index()
+        # damage dealt BY each agent (needs its own AO): subtract from opponent
+        dmg = orientation_fn(AO) * distance_fn(R * FT / 1000.0)
+        blood = state.blood - dmg[opp]
+
+        new_state = state.replace(model=mstate, controller=cst, blood=blood,
+                                  step_count=step_count)
+        obs = self._obs(new_state, xdot)
+        done, bad, exceed = self._termination(new_state, xdot)
+        reward = self._reward(new_state, xdot)
+        new_state = new_state.replace(is_done=done, bad_done=bad,
+                                      exceed_time_limit=exceed)
+        return new_state, StepOutput(obs=obs, reward=reward, done=done,
+                                     bad_done=bad, exceed_time_limit=exceed)
+
+
+class MultipleCombatEnv(SingleCombatEnv):
+    """nvn team combat (`envs/multiplecombat_env.py:24-271`): same obs/
+    reward/blood machinery with pairwise ego/enemy assignment and a single
+    FDM step per env step (:239-258)."""
+
+    inner_steps = 1
+
+    def __init__(self, num_envs: int = 1,
+                 config: str | EnvConfig = "multiple_selfplay"):
+        super().__init__(num_envs, config)

@@ -125,8 +125,8 @@ def crash(cfg: EnvConfig, ego_pos, enm_pos) -> Bools:
 
 
 def shutdown(cfg: EnvConfig, ego_blood, enm_blood) -> Bools:
-    """Blood <= 0: ego dead -> bad_done (lose); enemy dead -> done (win)
-    (`shutdown.py:8-47`)."""
+    """Blood <= 0: ego dead -> bad_done (lose); enemy dead while ego alive
+    -> done (win) (`shutdown.py:36-40`)."""
     bad = ego_blood <= 0.0
-    done = enm_blood <= 0.0
+    done = (enm_blood <= 0.0) & ~bad
     return bad, done, _none_like(bad)

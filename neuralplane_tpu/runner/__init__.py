@@ -1,4 +1,6 @@
 from .base import Runner
 from .f16sim import F16SimRunner, RolloutCarry
+from .selfplay import SelfplayCarry, SelfplayRunner
 
-__all__ = ["Runner", "F16SimRunner", "RolloutCarry"]
+__all__ = ["Runner", "F16SimRunner", "RolloutCarry", "SelfplayCarry",
+           "SelfplayRunner"]

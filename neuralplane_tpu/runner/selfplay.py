@@ -1,0 +1,265 @@
+"""Self-play combat runner: opponent pool, ELO, on-device rollouts.
+
+Re-design of the reference `SelfplayJSBSimRunner`
+(`runner/selfplay_F16sim_runner.py:21-324`). Layout: each env group holds
+M agents, the first M/2 are the trainee ("ego") team and the last M/2 are
+driven by frozen opponent policies from a checkpoint pool. Opponents are
+represented as a STACKED param pytree [K, ...] and evaluated with a vmap
+over pool slices of the env batch - no Python-side model swapping inside
+the rollout (SURVEY.md S7 hard-parts note).
+
+The ELO ladder, SP/FSP/PFSP opponent sampling, and pool persistence follow
+the reference semantics (ELO K=32, reward-diff win bands, per-episode pool
+snapshots).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..algorithms.ppo.buffer import RolloutBatch
+from ..algorithms.rl_config import RLConfig
+from ..algorithms.selfplay import choose_opponent, elo_update
+from ..utils.checkpoint import load_pytree, save_pytree
+from .base import Runner
+
+
+@struct.dataclass
+class SelfplayCarry:
+    env_state: object
+    ego_obs: jnp.ndarray       # [n_ego, obs]
+    opp_obs: jnp.ndarray       # [n_opp, obs]
+    h_actor: jnp.ndarray       # ego actor hidden [n_ego, L, H]
+    h_critic: jnp.ndarray
+    h_opp: jnp.ndarray         # opponent actor hidden [n_opp, L, H]
+    ego_masks: jnp.ndarray     # [n_ego, 1]
+    opp_masks: jnp.ndarray     # [n_opp, 1]
+    bad_masks: jnp.ndarray     # [n_ego, 1]
+    key: jax.Array
+
+
+class SelfplayRunner(Runner):
+    """PPO + frozen-opponent pool on the combat envs."""
+
+    def __init__(self, env, cfg: RLConfig, run_dir: str = "runs/selfplay",
+                 eval_env=None, model_dir: Optional[str] = None,
+                 use_tensorboard: bool = False):
+        super().__init__(env, cfg, run_dir, eval_env, model_dir,
+                         use_tensorboard)
+        self.num_envs = env.num_envs
+        self.num_agents = env.num_agents
+        self.half = self.num_agents // 2
+        self.n_ego = env.num_envs * self.half
+        self.num_opponents = max(1, cfg.n_choose_opponents)
+        assert env.num_envs % self.num_opponents == 0, (
+            "num_envs must divide evenly into opponent slices")
+        self.rng = np.random.default_rng(cfg.seed)
+        self.latest_elo = cfg.init_elo
+        self.policy_pool: Dict[str, float] = {}
+        # seed the pool with the initial policy
+        self._save_pool_entry("0")
+        self.opponent_params = self._stack_opponents(
+            ["0"] * self.num_opponents)
+
+    # ---- pool management ----
+    def _pool_path(self, name: str) -> str:
+        return os.path.join(self.save_dir, f"actor_{name}.pkl")
+
+    def _save_pool_entry(self, name: str) -> None:
+        save_pytree(self._pool_path(name), self.train_state.params["actor"])
+        self.policy_pool[name] = self.latest_elo
+
+    def _stack_opponents(self, names) -> dict:
+        trees = [jax.tree_util.tree_map(jnp.asarray,
+                                        load_pytree(self._pool_path(n)))
+                 for n in names]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    def reset_opponent(self) -> list:
+        """Re-sample opponents per SP/FSP/PFSP (reference :257-277)."""
+        names = [choose_opponent(self.cfg.selfplay_algorithm,
+                                 self.policy_pool, self.rng)
+                 for _ in range(self.num_opponents)]
+        self.opponent_params = self._stack_opponents(names)
+        logging.info("Choose opponents %s for training", names)
+        return names
+
+    # ---- ego/opponent split helpers (flat [n] <-> teams) ----
+    def _split(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        g = x.reshape(self.num_envs, self.num_agents, *x.shape[1:])
+        ego = g[:, :self.half].reshape(self.n_ego, *x.shape[1:])
+        opp = g[:, self.half:].reshape(self.n_ego, *x.shape[1:])
+        return ego, opp
+
+    def _merge(self, ego: jnp.ndarray, opp: jnp.ndarray) -> jnp.ndarray:
+        e = ego.reshape(self.num_envs, self.half, *ego.shape[1:])
+        o = opp.reshape(self.num_envs, self.half, *opp.shape[1:])
+        return jnp.concatenate([e, o], axis=1).reshape(
+            self.num_envs * self.num_agents, *ego.shape[1:])
+
+    def _opp_slices(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[n_ego, ...] -> [K, n_ego/K, ...] opponent-pool slices."""
+        return x.reshape(self.num_opponents, self.n_ego // self.num_opponents,
+                         *x.shape[1:])
+
+    # ---- rollout ----
+    def init_carry(self, key: jax.Array) -> SelfplayCarry:
+        k_reset, k_roll = jax.random.split(key)
+        env_state, obs = self.env.reset(k_reset)
+        ego_obs, opp_obs = self._split(obs)
+        h_a, h_c = self.policy.init_rnn_states(self.n_ego)
+        ones = jnp.ones((self.n_ego, 1), jnp.float32)
+        return SelfplayCarry(env_state=env_state, ego_obs=ego_obs,
+                             opp_obs=opp_obs, h_actor=h_a, h_critic=h_c,
+                             h_opp=jnp.zeros_like(h_a), ego_masks=ones,
+                             opp_masks=ones, bad_masks=ones, key=k_roll)
+
+    def _collect_step(self, params: dict, opp_params: dict,
+                      carry: SelfplayCarry):
+        key, k_act, k_opp = jax.random.split(carry.key, 3)
+        values, actions, logp, h_a, h_c = self.policy.get_actions(
+            params, carry.ego_obs, carry.h_actor, carry.h_critic,
+            carry.ego_masks, k_act)
+
+        # frozen opponents: vmap one actor over K stacked param sets
+        def opp_act(p, obs, h, m, k):
+            # pool entries store only the actor subtree
+            return self.policy.act({"actor": p}, obs, h, m, key=k,
+                                   deterministic=False)
+        opp_actions, h_opp = jax.vmap(opp_act)(
+            opp_params, self._opp_slices(carry.opp_obs),
+            self._opp_slices(carry.h_opp), self._opp_slices(carry.opp_masks),
+            jax.random.split(k_opp, self.num_opponents))
+        opp_actions = opp_actions.reshape(self.n_ego, -1)
+        h_opp = h_opp.reshape(carry.h_opp.shape)
+
+        env_state, out = self.env.step(carry.env_state,
+                                       self._merge(actions, opp_actions))
+
+        # per-env flag reductions over ALL agents (reference insert():142-152)
+        def env_any(x):
+            per_env = jnp.any(x.reshape(self.num_envs, self.num_agents),
+                              axis=1)
+            return jnp.repeat(per_env, self.half)[:, None]
+        dones_env = env_any(out.done)
+        bad_env = env_any(out.bad_done)
+        reset_env = env_any(out.done | out.bad_done | out.exceed_time_limit)
+        next_masks = 1.0 - dones_env.astype(jnp.float32)
+        next_bad = 1.0 - bad_env.astype(jnp.float32)
+        keep = (1.0 - reset_env.astype(jnp.float32))[:, :, None]
+        h_a, h_c, h_opp = h_a * keep, h_c * keep, h_opp * keep
+
+        ego_obs, opp_obs = self._split(out.obs)
+        ego_rew, opp_rew = self._split(out.reward[:, None])
+        step_data = dict(
+            obs=carry.ego_obs, actions=actions, rewards=ego_rew,
+            opp_rewards=opp_rew,
+            masks=carry.ego_masks, bad_masks=carry.bad_masks,
+            action_log_probs=logp, value_preds=values,
+            rnn_states_actor=carry.h_actor, rnn_states_critic=carry.h_critic,
+            done_count=out.done.sum() + out.bad_done.sum(),
+        )
+        new_carry = SelfplayCarry(
+            env_state=env_state, ego_obs=ego_obs, opp_obs=opp_obs,
+            h_actor=h_a, h_critic=h_c, h_opp=h_opp, ego_masks=next_masks,
+            opp_masks=next_masks, bad_masks=next_bad, key=key)
+        return new_carry, step_data
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def collect(self, params: dict, opp_params: dict, carry: SelfplayCarry
+                ) -> Tuple[SelfplayCarry, RolloutBatch, jnp.ndarray]:
+        def body(c, _):
+            return self._collect_step(params, opp_params, c)
+        carry, steps = jax.lax.scan(body, carry, None,
+                                    length=self.cfg.buffer_size)
+        bootstrap = self.policy.get_values(params, carry.ego_obs,
+                                           carry.h_critic, carry.ego_masks)
+        batch = RolloutBatch(
+            obs=jnp.concatenate([steps["obs"], carry.ego_obs[None]], axis=0),
+            actions=steps["actions"], rewards=steps["rewards"],
+            masks=jnp.concatenate([steps["masks"], carry.ego_masks[None]],
+                                  axis=0),
+            bad_masks=jnp.concatenate([steps["bad_masks"],
+                                       carry.bad_masks[None]], axis=0),
+            action_log_probs=steps["action_log_probs"],
+            value_preds=jnp.concatenate([steps["value_preds"],
+                                         bootstrap[None]], axis=0),
+            rnn_states_actor=steps["rnn_states_actor"],
+            rnn_states_critic=steps["rnn_states_critic"],
+        )
+        return carry, batch, steps["done_count"].sum()
+
+    # ---- evaluation vs pool + ELO (reference :133-241) ----
+    def eval_elo(self, num_steps: Optional[int] = None) -> Dict[str, float]:
+        env = self.eval_env if self.eval_env is not None else self.env
+        steps = num_steps or env.config.max_steps
+        names = [choose_opponent(self.cfg.selfplay_algorithm,
+                                 self.policy_pool, self.rng)
+                 for _ in range(self.num_opponents)]
+        opp_params = self._stack_opponents(names)
+        carry = self.init_carry(self.next_key())
+
+        @jax.jit
+        def run(params, opp_params, carry):
+            def body(c, _):
+                c, data = self._collect_step(params, opp_params, c)
+                return c, (data["rewards"], data["opp_rewards"],
+                           c.ego_masks, c.bad_masks)
+            c, (rew, orew, masks, bads) = jax.lax.scan(body, carry, None,
+                                                       length=steps)
+            ends = ((masks == 0).sum() + (bads == 0).sum())
+            # cumulative ego/opponent reward per pool slice
+            ego = self._opp_slices(rew.sum(0)).sum(axis=(1, 2))
+            opp = self._opp_slices(orew.sum(0)).sum(axis=(1, 2))
+            return ego, opp, ends
+        ego_rew, opp_rew, ends = run(self.train_state.params, opp_params,
+                                     carry)
+        ego_rew, opp_rew = np.asarray(ego_rew), np.asarray(opp_rew)
+        opp_elo = np.array([self.policy_pool[n] for n in names])
+        self.latest_elo, new_opp = elo_update(self.latest_elo, opp_elo,
+                                              ego_rew, opp_rew)
+        for n, e in zip(names, new_opp):
+            self.policy_pool[n] = float(e)
+        self.reset_opponent()
+        return {"latest_elo": self.latest_elo,
+                "eval_episodes_ended": float(ends)}
+
+    # ---- main loop ----
+    def run(self) -> Dict[str, float]:
+        cfg = self.cfg
+        carry = self.init_carry(self.next_key())
+        steps_per_episode = cfg.buffer_size * self.n_ego
+        episodes = max(1, int(cfg.num_env_steps) // steps_per_episode)
+        start = time.time()
+        train_infos: Dict[str, float] = {}
+
+        for episode in range(episodes):
+            carry, batch, done_count = self.collect(
+                self.train_state.params, self.opponent_params, carry)
+            train_infos = self.train(batch)
+            total = (episode + 1) * steps_per_episode
+
+            if episode % cfg.log_interval == 0:
+                ends = ((batch.masks[1:] == 0).sum()
+                        + (batch.bad_masks[1:] == 0).sum())
+                avg = float(batch.rewards.sum() / jnp.maximum(ends, 1))
+                train_infos["average_episode_rewards"] = avg
+                train_infos["fps"] = int(total / (time.time() - start))
+                train_infos["latest_elo"] = self.latest_elo
+                self.log_info(train_infos, total)
+
+            if cfg.use_eval and episode % cfg.eval_interval == 0 and episode:
+                self.log_info(self.eval_elo(), total)
+
+            if episode % cfg.save_interval == 0 or episode == episodes - 1:
+                self.save("latest")
+                self._save_pool_entry(str(episode + 1))
+        return train_infos

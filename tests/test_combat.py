@@ -1,0 +1,91 @@
+"""Combat env + self-play runner tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralplane_tpu.algorithms.rl_config import RLConfig
+from neuralplane_tpu.algorithms.selfplay import choose_opponent, elo_update
+from neuralplane_tpu.envs import MultipleCombatEnv, SingleCombatEnv
+from neuralplane_tpu.runner import SelfplayRunner
+
+
+def test_combat_obs_shape_and_symmetry():
+    env = SingleCombatEnv(num_envs=3)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (6, 15)
+    assert np.isfinite(np.asarray(obs)).all()
+    o = np.asarray(obs)
+    # paired slots: delta_altitude of ego == -delta_altitude of its enemy
+    np.testing.assert_allclose(o[0::2, 10], -o[1::2, 10], atol=1e-5)
+    # relative distance identical within a pair
+    np.testing.assert_allclose(o[0::2, 13], o[1::2, 13], rtol=1e-5)
+    # AO/TA complementarity: AO_enm == pi - TA_ego
+    np.testing.assert_allclose(o[1::2, 11], np.pi - o[0::2, 12], atol=1e-5)
+
+
+def test_combat_step_blood_and_reset():
+    env = SingleCombatEnv(num_envs=2)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    for _ in range(10):
+        state, out = env.step(state, jnp.zeros((env.n, 4)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # posture reward is 0.01 * orientation * range, bounded
+    assert (np.abs(np.asarray(out.reward)) < 1.0).all()
+    assert (np.asarray(state.blood) <= 100.0).all()
+    assert (np.asarray(state.step_count) == 10).all()
+
+    # force a shutdown -> whole env group resets next step
+    state = state.replace(blood=state.blood.at[0].set(-1.0))
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    state2, _ = env.step(state, jnp.zeros((env.n, 4)))
+    assert int(state2.step_count[0]) == 1  # group 0 was reset
+    assert float(state2.blood[0]) == 100.0
+    assert int(state2.step_count[2]) == 12  # group 1 kept flying
+
+
+def test_multiple_combat_runs():
+    env = MultipleCombatEnv(num_envs=2)  # 2v2 -> 8 agents
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    assert obs.shape == (8, 15)
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_selfplay_algorithms():
+    rng = np.random.default_rng(0)
+    pool = {"0": 1000.0, "1": 1040.0, "2": 960.0}
+    assert choose_opponent("sp", pool, rng) == "2"  # latest key
+    picks = {choose_opponent("fsp", pool, rng) for _ in range(50)}
+    assert picks == set(pool)
+    pick = choose_opponent("pfsp", pool, rng)
+    assert pick in pool
+
+    ego, opp = elo_update(1000.0, np.array([1000.0]), np.array([500.0]),
+                          np.array([100.0]))
+    assert ego > 1000.0 and opp[0] < 1000.0  # ego won -> gains ELO
+
+
+def test_selfplay_runner_collect_train(tmp_path):
+    cfg = RLConfig(buffer_size=8, data_chunk_length=4, ppo_epoch=2,
+                   num_mini_batch=1, hidden_sizes=(16,), act_hidden_sizes=(8,),
+                   recurrent_hidden_size=8, n_choose_opponents=1,
+                   num_env_steps=8 * 4, save_interval=100, log_interval=1)
+    env = SingleCombatEnv(num_envs=4)
+    runner = SelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    carry = runner.init_carry(jax.random.PRNGKey(0))
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    assert batch.obs.shape == (9, runner.n_ego, env.num_observation)
+    assert np.isfinite(np.asarray(batch.obs)).all()
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(v), f"non-finite {k}"
+
+    # pool snapshot + opponent re-sampling work end to end
+    runner._save_pool_entry("1")
+    names = runner.reset_opponent()
+    assert len(names) == 1 and all(n in runner.policy_pool for n in names)
+
+    out = runner.eval_elo(num_steps=8)
+    assert np.isfinite(out["latest_elo"])
