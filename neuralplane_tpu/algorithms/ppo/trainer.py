@@ -94,6 +94,12 @@ class PPOTrainer:
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
+    def _chunk_arrays(self, batch, returns, advantages) -> Tuple:
+        """Chunked training arrays; by convention the LAST TWO entries are
+        per-chunk initial rnn states (no time axis). Subclasses (MAPPO)
+        extend this tuple."""
+        return make_chunks(batch, returns, advantages, self.cfg.data_chunk_length)
+
     # ---- full update ----
     @functools.partial(jax.jit, static_argnums=0)
     def train(self, state: TrainState, batch: RolloutBatch, key: jax.Array
@@ -103,18 +109,19 @@ class PPOTrainer:
         returns = compute_returns(batch, cfg.gamma, cfg.gae_lambda,
                                   cfg.use_gae, cfg.use_proper_time_limits)
         advantages = compute_advantages(returns, batch.value_preds)
-        chunks = make_chunks(batch, returns, advantages, cfg.data_chunk_length)
+        chunks = self._chunk_arrays(batch, returns, advantages)
 
         num_chunks = chunks[0].shape[0]
         mb_size = num_chunks // cfg.num_mini_batch
         used = mb_size * cfg.num_mini_batch
+        n_h0 = len(chunks) - 2  # entries >= n_h0 are initial rnn states
 
         def gather_mb(idx):
             """Chunk rows [mb, L, ...] -> time-major [L, mb, ...]; h0 stays [mb,...]."""
             out = []
             for i, arr in enumerate(chunks):
                 sel = jnp.take(arr, idx, axis=0)
-                out.append(sel if i >= 7 else jnp.swapaxes(sel, 0, 1))
+                out.append(sel if i >= n_h0 else jnp.swapaxes(sel, 0, 1))
             return tuple(out)
 
         def epoch_body(state, epoch_key):

@@ -1,4 +1,5 @@
 from .base import Env, ControlEnv
+from .planning import PlanningEnv, PlanningState
 from .combat import CombatState, MultipleCombatEnv, SingleCombatEnv
 from .types import EnvState, StepOutput
 from .wrappers import GymVecEnv, make_control_vec_env

@@ -32,8 +32,7 @@ class Runner:
         self.save_dir = os.path.join(run_dir, "checkpoints")
         os.makedirs(self.save_dir, exist_ok=True)
 
-        self.policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
-        self.trainer = PPOTrainer(cfg, self.policy)
+        self.policy, self.trainer = self._build_policy(env, cfg)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, k_params = jax.random.split(key)
@@ -51,6 +50,11 @@ class Runner:
             except Exception:
                 pass
         self._t0 = time.time()
+
+    def _build_policy(self, env, cfg: RLConfig):
+        """Policy/trainer factory; MAPPO runner overrides this."""
+        policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+        return policy, PPOTrainer(cfg, policy)
 
     # ---- training hooks (subclasses implement collect/run) ----
     def next_key(self) -> jax.Array:
