@@ -26,6 +26,8 @@ def main() -> None:
                     help="also print the 10^0..10^6 sweep to stderr")
     args = ap.parse_args()
 
+    from neuralplane_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from neuralplane_tpu.measure import measure_env_step, measure_sweep
 
     if args.sweep:

@@ -1,0 +1,188 @@
+"""Render / evaluation CLI: deterministic rollouts -> ACMI + npy + metrics.
+
+Covers the reference's render scripts (SURVEY.md S2 S6):
+  --mode ppo     render_ppo.py        - trained policy on a control env
+  --mode pid     render_control.py    - PID/TECS/L1 controller instead
+  --mode combat  render_singlecombat.py - two policies 1v1, blood printout
+
+Outputs: <out>/result/*.npy channel buffers, <out>/recording.txt.acmi,
+success-rate + evaluate_result metrics printed (render_ppo.py:188-191,
+evaluate_result.py:31-53).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms.pid import Controller, flight_data
+from ..algorithms.ppo import PPOPolicy
+from ..algorithms.rl_config import RLConfig
+from ..envs import ControlEnv, SingleCombatEnv
+from ..render import ACMIWriter, TrajectoryRecorder, evaluate_metrics, \
+    plot_result
+from ..utils.checkpoint import load_pytree
+
+
+def _load_actor_params(policy: PPOPolicy, path: str) -> dict:
+    blob = load_pytree(path)
+    if isinstance(blob, dict) and "train_state" in blob:
+        params = blob["train_state"].params
+    elif isinstance(blob, dict) and "actor" in blob:
+        params = blob
+    else:
+        params = {"actor": blob}
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def render_control(args) -> None:
+    env = ControlEnv(num_envs=args.num_envs, config=args.scenario)
+    cfg = RLConfig()
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+    if args.mode == "ppo":
+        params = (_load_actor_params(policy, args.checkpoint)
+                  if args.checkpoint else
+                  policy.init_params(jax.random.PRNGKey(0)))
+    controller = Controller(dt=env.config.dt)
+
+    state, obs = env.reset(jax.random.PRNGKey(args.seed))
+    h, _ = policy.init_rnn_states(env.n)
+    cst = controller.init_state(env.n)
+    masks = jnp.ones((env.n, 1), jnp.float32)
+    rec = TrajectoryRecorder()
+    acmi = ACMIWriter(os.path.join(args.out, "recording.txt.acmi"))
+    reached, failed, episode_reward = 0, 0, 0.0
+
+    @jax.jit
+    def ppo_act(params, obs, h, masks):
+        return policy.act(params, obs, h, masks, deterministic=True)
+
+    @jax.jit
+    def channels(state, out):
+        """All recorded channels + step stats in ONE program: a single
+        device->host pull per frame (the tunnel round-trip dominates)."""
+        model, mstate = env.model, state.model
+        xdot = model.extended_state(mstate)
+        npos, epos, altitude = model.get_position(mstate)
+        roll, pitch, yaw = model.get_posture(mstate)
+        el, ail, rud, _ = model.get_control_surface(mstate)
+        T = model.get_thrust(mstate)
+        out_ch = dict(npos=npos, epos=epos, altitude=altitude, roll=roll,
+                   pitch=pitch, yaw=yaw, vt=model.get_vt(mstate),
+                   alpha=model.get_AOA(mstate), beta=model.get_AOS(mstate),
+                   G=model.get_G(mstate, xdot), T=T,
+                   throttle=T * 0.3048 / 82339.0 / 0.225,
+                   ail=ail, el=el, rud=rud)
+        for name in ("target_altitude", "target_heading", "target_vt",
+                     "target_pitch", "target_npos", "target_epos"):
+            if hasattr(state.task, name):
+                out_ch[name] = getattr(state.task, name)
+        stats = (out.done.sum(), out.bad_done.sum(), out.reward.mean())
+        return {k: v.mean() for k, v in out_ch.items()}, mstate.s[:, :6], stats
+
+    @jax.jit
+    def pid_act(cst, state):
+        mstate = state.model
+        xdot = env.model.extended_state(mstate)
+        data = flight_data(env.model, mstate, xdot)
+        _, _, alt = env.model.get_position(mstate)
+        tstate = state.task
+        hdg = getattr(tstate, "target_heading", data.yaw)
+        tvt = getattr(tstate, "target_vt", jnp.full((env.n,), 1100.0))
+        talt = getattr(tstate, "target_altitude", alt)
+        cst2 = controller.update_heading_hold(cst, hdg, data)
+        cst2 = controller.cal_pitch_throttle(cst2, talt, tvt, alt, data)
+        cst2 = controller.stabilize(cst2, data)
+        return cst2, jnp.clip(controller.get_action(cst2), -1.0, 1.0)
+
+    for count in range(args.steps):
+        if args.mode == "ppo":
+            actions, h = ppo_act(params, obs, h, masks)
+        else:  # pid: hold the task targets with the classical stack
+            cst, actions = pid_act(cst, state)
+
+        state, out = env.step(state, actions)
+        obs = out.obs
+        reset = out.done | out.bad_done | out.exceed_time_limit
+        masks = 1.0 - out.done.astype(jnp.float32)[:, None]
+        h = h * (1.0 - reset.astype(jnp.float32))[:, None, None]
+
+        chans, pose, (n_done, n_bad, rew) = jax.device_get(
+            channels(state, out))
+        reached += int(n_done)
+        failed += int(n_bad)
+        episode_reward += float(rew)
+        rec.record(**chans)
+        acmi.write_frame(count * env.config.dt, pose)
+
+    result_dir = os.path.join(args.out, "result")
+    rec.save(result_dir)
+    buffers = rec.arrays()
+    plot_result(buffers, os.path.join(args.out, "result.png"),
+                dt=env.config.dt)
+    metrics = evaluate_metrics(buffers)
+    total = max(reached + failed, 1)
+    metrics.update(episode_reward=episode_reward,
+                   reached_target=reached, failed=failed,
+                   success_rate=reached / total)
+    print(json.dumps(metrics, indent=2))
+
+
+def render_combat(args) -> None:
+    env = SingleCombatEnv(num_envs=1, config=args.scenario)
+    cfg = RLConfig()
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+    ego = (_load_actor_params(policy, args.checkpoint) if args.checkpoint
+           else policy.init_params(jax.random.PRNGKey(0)))
+    enm = (_load_actor_params(policy, args.opponent) if args.opponent else ego)
+
+    state, obs = env.reset(jax.random.PRNGKey(args.seed))
+    h_e, _ = policy.init_rnn_states(1)
+    h_o, _ = policy.init_rnn_states(1)
+    ones = jnp.ones((1, 1), jnp.float32)
+    acmi = ACMIWriter(os.path.join(args.out, "recording.txt.acmi"))
+
+    for count in range(args.steps):
+        a_e, h_e = policy.act(ego, obs[0:1], h_e, ones, deterministic=True)
+        a_o, h_o = policy.act(enm, obs[1:2], h_o, ones, deterministic=True)
+        state, out = env.step(state, jnp.concatenate([a_e, a_o], axis=0))
+        obs = out.obs
+        s = np.asarray(state.model.s)
+        acmi.write_frame(count * env.config.dt * env.inner_steps, s[:, :6],
+                         colors=["Red", "Blue"])
+        if bool((out.done | out.bad_done).any()):
+            break
+    print(json.dumps({"steps": count + 1,
+                      "blood": np.asarray(state.blood).tolist()}))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("neuralplane_tpu.render")
+    p.add_argument("--mode", default="ppo", choices=["ppo", "pid", "combat"])
+    p.add_argument("--scenario", default=None,
+                   help="defaults to 'heading' (ppo/pid) or 'selfplay' (combat)")
+    p.add_argument("--checkpoint", default=None,
+                   help="state_*.pkl or actor_*.pkl from a training run")
+    p.add_argument("--opponent", default=None, help="combat: enemy actor ckpt")
+    p.add_argument("--num-envs", type=int, default=1)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="render_out")
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    if args.mode == "combat":
+        args.scenario = args.scenario or "selfplay"
+        render_combat(args)
+    else:
+        args.scenario = args.scenario or "heading"
+        render_control(args)
+
+
+if __name__ == "__main__":
+    main()

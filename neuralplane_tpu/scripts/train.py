@@ -144,6 +144,8 @@ def make_env(args: argparse.Namespace):
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     args = get_parser().parse_args(argv)
     cfg = args_to_config(args)
     env = make_env(args)
