@@ -3,3 +3,4 @@ from .aero import AeroWeights, load_aero_weights, aero_coeffs
 from .dynamics import nlplant_f16, nlplant_uav
 from .integrators import integrate
 from .interp import interpn, load_dat, table_from_flat
+from . import lofi
