@@ -1,1 +1,2 @@
-from .mesh import make_mesh, shard_env_state, shard_batch, replicate
+from .mesh import (make_mesh, shard_env_state, shard_batch,
+                   shard_batch_tree, replicate)

@@ -40,14 +40,23 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
-def shard_env_state(state, mesh: Mesh, axis_name: str = "dp"):
-    """Shard an EnvState pytree: leading-[n] arrays split over axis_name,
-    the PRNG key replicated."""
-    n = state.step_count.shape[0]
-
+def shard_batch_tree(tree, n: int, mesh: Mesh, axis_name: str = "dp"):
+    """Shard every leaf whose leading dim equals n over axis_name; replicate
+    the rest (PRNG keys, scalars)."""
     def place(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n:
             return shard_batch(leaf, mesh, axis_name)
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(place, state)
+    return jax.tree_util.tree_map(place, tree)
+
+
+def shard_env_state(state, mesh: Mesh, axis_name: str = "dp"):
+    """Shard an env-state or rollout-carry pytree on its agent-batch axis."""
+    if hasattr(state, "step_count"):
+        n = state.step_count.shape[0]
+    elif hasattr(state, "env_state"):
+        n = state.env_state.step_count.shape[0]
+    else:
+        raise ValueError("cannot infer batch size; use shard_batch_tree")
+    return shard_batch_tree(state, n, mesh, axis_name)

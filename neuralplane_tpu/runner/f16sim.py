@@ -44,12 +44,28 @@ class F16SimRunner(Runner):
 
     def __init__(self, env, cfg: RLConfig, run_dir: str = "runs/debug",
                  eval_env=None, model_dir: Optional[str] = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False, mesh=None):
         super().__init__(env, cfg, run_dir, eval_env, model_dir,
                          use_tensorboard)
         self.num_envs = env.num_envs
         self.num_agents = env.num_agents
         self.n = env.n
+        # Data-parallel mesh (SURVEY.md S2 P1-P3): env/rollout state sharded
+        # over the 'dp' axis, policy + optimizer replicated; XLA inserts the
+        # gradient all-reduce over ICI inside trainer.train. None = one chip.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+            assert self.n % mesh.devices.size == 0, (
+                f"n={self.n} must divide over {mesh.devices.size} devices")
+            self.train_state = replicate(self.train_state, mesh)
+
+    def _shard_carry(self, carry: "RolloutCarry") -> "RolloutCarry":
+        """Place a rollout carry with batch-leading arrays sharded on dp."""
+        if self.mesh is None:
+            return carry
+        from ..parallel import shard_env_state
+        return shard_env_state(carry, self.mesh)
 
     # ---- rollout ----
     def init_carry(self, key: jax.Array) -> RolloutCarry:
@@ -124,7 +140,7 @@ class F16SimRunner(Runner):
     # ---- main loop ----
     def run(self) -> Dict[str, float]:
         cfg = self.cfg
-        carry = self.init_carry(self.next_key())
+        carry = self._shard_carry(self.init_carry(self.next_key()))
         total_steps_per_episode = cfg.buffer_size * self.n
         episodes = max(1, int(cfg.num_env_steps) // total_steps_per_episode)
         start = time.time()

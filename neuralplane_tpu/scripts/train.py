@@ -87,6 +87,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-episodes", type=int, default=32)
     p.add_argument("--use-tensorboard", action="store_true")
     p.add_argument("--run-dir", default=None)
+    p.add_argument("--use-mesh", action="store_true",
+                   help="shard the env batch over all local devices (DP); "
+                   "policy replicated, gradients all-reduced over ICI")
     return p
 
 
@@ -158,10 +161,17 @@ def main(argv=None) -> None:
     if args.use_selfplay:
         runner_cls = (MAPPOSelfplayRunner if args.algorithm_name == "mappo"
                       else SelfplayRunner)
+        runner_kwargs = {}
     else:
         runner_cls = F16SimRunner
+        mesh = None
+        if args.use_mesh:
+            from ..parallel import make_mesh
+            mesh = make_mesh()
+        runner_kwargs = {"mesh": mesh}
     runner = runner_cls(env, cfg, run_dir=run_dir, model_dir=args.model_dir,
-                        use_tensorboard=args.use_tensorboard)
+                        use_tensorboard=args.use_tensorboard,
+                        **runner_kwargs)
     try:
         runner.run()
     finally:
