@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..models.f16 import F16Model
 from ..models.uav import UAVModel
-from ..ops.aero import load_aero_weights
+from ..ops.aero import load_aero_weights, select_aero_weights
 from ..utils.config import EnvConfig, load_config
 from .tasks import TASKS
 from .types import EnvState, StepOutput
@@ -40,12 +40,17 @@ class Env:
     """Config + model + task bound together; all methods are pure."""
 
     def __init__(self, num_envs: int, config: str | EnvConfig = "heading",
-                 task: str = "heading", model: str = "F16"):
+                 task: str = "heading", model: str = "F16",
+                 aero_backend: str = "auto"):
         self.config = config if isinstance(config, EnvConfig) else load_config(config)
         self.num_envs = num_envs
         self.num_agents = self.config.num_agents
         self.n = self.num_envs * self.num_agents
-        weights = load_aero_weights() if model == "F16" else None
+        weights = None
+        if model == "F16":
+            # 'auto' uses the fused Pallas aero kernel on TPU backends
+            # (ops/aero_pallas.py); 'stacked' is the portable XLA path.
+            weights = select_aero_weights(load_aero_weights(), aero_backend)
         self.model = MODELS[model](self.config, weights)
         self.task = TASKS[task](self.config)
 

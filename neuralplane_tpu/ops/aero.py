@@ -68,11 +68,29 @@ def load_aero_weights(path: str = _DATA_PATH, dtype=jnp.float32) -> AeroWeights:
     return AeroWeights(**{k: jnp.asarray(v, dtype=dtype) for k, v in raw.items()})
 
 
-def aero_coeffs(w: AeroWeights, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
+def select_aero_weights(w: "AeroWeights", backend: str = "auto"):
+    """Pick the aero-query backend: 'stacked' (XLA einsums, any platform,
+    autodiff-able) or 'pallas' (fused VMEM kernel, TPU only - returns
+    GroupedAeroWeights, which aero_coeffs dispatches on). 'auto' selects
+    pallas on TPU backends. Override with NEURALPLANE_AERO_BACKEND."""
+    import jax
+
+    backend = os.environ.get("NEURALPLANE_AERO_BACKEND", backend)
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        backend = "pallas" if on_tpu else "stacked"
+    if backend == "pallas":
+        from .aero_pallas import pack_grouped
+        return pack_grouped(w)
+    return w
+
+
+def aero_coeffs(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     """Evaluate all 43 aero coefficients.
 
     Args:
-        w: stacked weights.
+        w: stacked AeroWeights, or GroupedAeroWeights for the fused Pallas
+            TPU path (see ops/aero_pallas.py).
         alpha_deg, beta_deg, el_deg: [n] raw angle-of-attack / sideslip /
             elevator deflection in degrees (matching the reference's query
             units, `envs/models/F16/F16_dynamics.py:85-86,140`).
@@ -80,6 +98,9 @@ def aero_coeffs(w: AeroWeights, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     Returns:
         [n, K] coefficient matrix, column order = AERO_NAMES.
     """
+    if type(w).__name__ == "GroupedAeroWeights":
+        from .aero_pallas import aero_coeffs_pallas
+        return aero_coeffs_pallas(w, alpha_deg, beta_deg, el_deg)
     x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=-1)        # [n, 3]
     # Layer 1 has no K-dependence on the input, so flatten K into the output
     # feature dim: one [n,3] @ [3, K*20] matmul.

@@ -1,0 +1,141 @@
+"""Fused Pallas TPU kernel for the 43-surrogate aero query.
+
+Why: the stacked-einsum path (ops/aero.py) materializes [43, n, 20]
+activations in HBM - ~3.4 GB per layer at n = 10^6 - so the aero query is
+HBM-bandwidth bound (~34 GB of traffic per env step). This kernel keeps all
+activations in VMEM: HBM traffic drops to the [n,3] input + [n,43] output
+(~0.2 GB).
+
+How: the 43 nets are lane-packed into G=8 groups of S=6, padded to the
+128-lane tile width (6 nets x 20 hidden = 120 -> 128). Within a group the
+layer-2/3 weights form a block-diagonal [128,128] matrix, so each layer is
+ONE exactly-tile-shaped MXU matmul [T,128] @ [128,128] instead of 43 tiny
+[T,20] @ [20,20] contractions. Layer-3 activations for all groups land in a
+[T, G*128] VMEM scratch at aligned 128-lane offsets, and the 43 outputs come
+from a single wide block-diagonal [G*128, 64] matmul - no narrow lane writes
+anywhere. The zero padding costs ~10x redundant FLOPs, but the exact query
+is only 57.6 kFLOP/row - locality and lane alignment dominate, not FLOPs.
+
+Multiplies are bf16 with f32 accumulation - the same arithmetic XLA's
+default matmul precision uses on the stacked path (verified equal max error
+against a float64 oracle).
+
+Grid: 1-D over row tiles of T=1024; weight specs use constant index maps so
+they stay VMEM-resident across tiles (~1.1 MB total).
+
+No custom VJP: the dynamics are never differentiated through (PPO treats
+the simulator as a black box); the stacked path remains for any future
+gradient-based use and for CPU/GPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .aero import AeroWeights, K
+
+S = 6                      # nets per group
+G = -(-K // S)             # 8 groups (43 padded to 48 net slots)
+WIDE = 128                 # lane-padded group width (6 x 20 = 120 -> 128)
+OUT = 64                   # lane-padded output width (48 -> 64)
+TILE = 1024                # rows per grid step
+
+
+class GroupedAeroWeights(NamedTuple):
+    W1: jnp.ndarray  # [G, 3, WIDE]
+    b1: jnp.ndarray  # [G, WIDE]
+    W2: jnp.ndarray  # [G, WIDE, WIDE]   block-diagonal per group
+    b2: jnp.ndarray  # [G, WIDE]
+    W3: jnp.ndarray  # [G, WIDE, WIDE]   block-diagonal (60 cols used)
+    b3: jnp.ndarray  # [G, WIDE]
+    W4: jnp.ndarray  # [G*WIDE, OUT]     block-diagonal output columns
+    b4: jnp.ndarray  # [OUT]
+
+
+def pack_grouped(w: AeroWeights, dtype=jnp.float32) -> GroupedAeroWeights:
+    """Lane-pack stacked [K, ...] weights into aligned block-diagonal form."""
+    W1 = np.zeros((G, 3, WIDE), np.float32)
+    b1 = np.zeros((G, WIDE), np.float32)
+    W2 = np.zeros((G, WIDE, WIDE), np.float32)
+    b2 = np.zeros((G, WIDE), np.float32)
+    W3 = np.zeros((G, WIDE, WIDE), np.float32)
+    b3 = np.zeros((G, WIDE), np.float32)
+    W4 = np.zeros((G * WIDE, OUT), np.float32)
+    b4 = np.zeros((OUT,), np.float32)
+    w_np = jax.device_get(w)
+    for k in range(K):
+        g, s = divmod(k, S)
+        h1 = slice(s * 20, (s + 1) * 20)
+        h3 = slice(s * 10, (s + 1) * 10)
+        W1[g, :, h1] = w_np.W1[k]
+        b1[g, h1] = w_np.b1[k]
+        W2[g, h1, h1] = w_np.W2[k]
+        b2[g, h1] = w_np.b2[k]
+        W3[g, h1, h3] = w_np.W3[k]
+        b3[g, h3] = w_np.b3[k]
+        W4[g * WIDE + s * 10:g * WIDE + (s + 1) * 10, k] = w_np.W4[k]
+        b4[k] = w_np.b4[k]
+    return GroupedAeroWeights(*[jnp.asarray(a, dtype) for a in
+                                (W1, b1, W2, b2, W3, b3, W4, b4)])
+
+
+def _aero_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 w4_ref, b4_ref, out_ref, h3_scratch):
+    bf = jnp.bfloat16
+    x = x_ref[:].astype(bf)  # [T, 3]
+    for g in range(G):  # static unroll: 8 groups x 3 aligned matmuls
+        h = jnp.maximum(jnp.dot(x, w1_ref[g].astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[g], 0.0)
+        h = jnp.maximum(jnp.dot(h.astype(bf), w2_ref[g].astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b2_ref[g], 0.0)
+        h = jnp.maximum(jnp.dot(h.astype(bf), w3_ref[g].astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b3_ref[g], 0.0)
+        h3_scratch[:, g * WIDE:(g + 1) * WIDE] = h.astype(bf)
+    # one wide block-diagonal output matmul -> all 43 coefficients
+    out_ref[:] = jnp.dot(h3_scratch[:], w4_ref[:].astype(bf),
+                         preferred_element_type=jnp.float32) + b4_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def aero_coeffs_pallas(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
+                       tile: int = TILE) -> jnp.ndarray:
+    """Fused aero query; same contract as ops.aero.aero_coeffs -> [n, K]."""
+    n = alpha_deg.shape[0]
+    x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=-1)  # [n, 3]
+    tile = min(tile, max(8, n))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    const = lambda i: (0, 0)          # weights: same block every grid step
+    const3 = lambda i: (0, 0, 0)
+    out = pl.pallas_call(
+        _aero_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 3, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * WIDE, OUT), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, OUT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile, G * WIDE), jnp.bfloat16)],
+    )(x, *gw)
+    return out[:n, :K]
