@@ -110,7 +110,7 @@ class Env:
         obs = self.task.get_obs(self.model, mstate, state.task, k_obs)
         # 4. terminations - xdot computed once, shared by all consumers
         xdot = self.model.extended_state(mstate)
-        done, bad, exceed = self.task.get_termination(
+        done, bad, exceed, info = self.task.get_termination(
             self.model, mstate, xdot, step_count, state.task)
         # 5. reward (event-driven part consumes this step's flags)
         reward = self.task.get_reward(self.model, mstate, state.task, done, bad)
@@ -119,7 +119,7 @@ class Env:
             is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,
         )
         out = StepOutput(obs=obs, reward=reward, done=done, bad_done=bad,
-                         exceed_time_limit=exceed)
+                         exceed_time_limit=exceed, info=info)
         return new_state, out
 
 
@@ -128,6 +128,7 @@ class ControlEnv(Env):
     {heading, control, tracking} (parity: `envs/control_env.py:12-35`)."""
 
     def __init__(self, num_envs: int = 10, config: str = "heading",
-                 model: str = "F16"):
+                 model: str = "F16", aero_backend: str = "auto"):
         task = config if isinstance(config, str) else "heading"
-        super().__init__(num_envs, config=config, task=task, model=model)
+        super().__init__(num_envs, config=config, task=task, model=model,
+                         aero_backend=aero_backend)

@@ -193,19 +193,21 @@ class SingleCombatEnv:
         cfg, model, mstate = self.config, self.model, state.model
         opp = self._opponent_index()
         conds = [
-            X.overload(cfg, model, mstate, xdot),
-            X.low_altitude(cfg, model, mstate),
-            X.high_speed(cfg, model, mstate),
-            X.low_speed(cfg, model, mstate),
-            X.extreme_state(cfg, model, mstate),
-            X.crash(cfg, mstate.s[:, :3], mstate.s[opp, :3]),
-            X.timeout(cfg, state.step_count),
-            X.shutdown(cfg, state.blood, state.blood[opp]),
+            ("overload", X.overload(cfg, model, mstate, xdot)),
+            ("low_altitude", X.low_altitude(cfg, model, mstate)),
+            ("high_speed", X.high_speed(cfg, model, mstate)),
+            ("low_speed", X.low_speed(cfg, model, mstate)),
+            ("extreme_state", X.extreme_state(cfg, model, mstate)),
+            ("crash", X.crash(cfg, mstate.s[:, :3], mstate.s[opp, :3])),
+            ("timeout", X.timeout(cfg, state.step_count)),
+            ("shutdown", X.shutdown(cfg, state.blood, state.blood[opp])),
         ]
-        bad = functools.reduce(jnp.logical_or, [c[0] for c in conds])
-        done = functools.reduce(jnp.logical_or, [c[1] for c in conds])
-        exceed = functools.reduce(jnp.logical_or, [c[2] for c in conds])
-        return done, bad, exceed
+        bad = functools.reduce(jnp.logical_or, [c[0] for _, c in conds])
+        done = functools.reduce(jnp.logical_or, [c[1] for _, c in conds])
+        exceed = functools.reduce(jnp.logical_or, [c[2] for _, c in conds])
+        info = {f"termination/{name}": (b | d | e).sum()
+                for name, (b, d, e) in conds}
+        return done, bad, exceed, info
 
     # --- step ---
     @functools.partial(jax.jit, static_argnums=0)
@@ -251,12 +253,13 @@ class SingleCombatEnv:
         new_state = state.replace(model=mstate, controller=cst, blood=blood,
                                   step_count=step_count)
         obs = self._obs(new_state, xdot)
-        done, bad, exceed = self._termination(new_state, xdot)
+        done, bad, exceed, info = self._termination(new_state, xdot)
         reward = self._reward(new_state, xdot)
         new_state = new_state.replace(is_done=done, bad_done=bad,
                                       exceed_time_limit=exceed)
         return new_state, StepOutput(obs=obs, reward=reward, done=done,
-                                     bad_done=bad, exceed_time_limit=exceed)
+                                     bad_done=bad, exceed_time_limit=exceed,
+                                     info=info)
 
 
 class MultipleCombatEnv(SingleCombatEnv):

@@ -132,8 +132,8 @@ class PlanningEnv(Env):
             mstate = new_mstate.replace(s=s, u=u)
             step_count = step_count + 1
             xdot = self.model.extended_state(mstate)
-            d, b, e = self.task.get_termination(self.model, mstate, xdot,
-                                                step_count, estate.task)
+            d, b, e, _ = self.task.get_termination(self.model, mstate, xdot,
+                                                   step_count, estate.task)
             flags = (done | d, bad | b, exceed | e)
             return (mstate, h_low, flags, step_count), None
 

@@ -74,9 +74,14 @@ class TrackingTask(BaseTask):
                                         tstate.target_epos,
                                         tstate.target_altitude),
         ]
+        names = ("overload", "low_altitude", "high_speed", "low_speed", "extreme_state", "unreach_target")
         bad = jnp.zeros_like(step_count, dtype=bool)
         done = jnp.zeros_like(bad)
         exceed = jnp.zeros_like(bad)
-        for b, d, e in conds:
+        info = {}
+        for name, (b, d, e) in zip(names, conds):
             bad, done, exceed = bad | b, done | d, exceed | e
-        return done, bad, exceed
+            # on-device trigger counters (replaces the reference's per-trigger
+            # host prints, SURVEY.md S5 conditional-logging note)
+            info[f"termination/{name}"] = (b | d | e).sum()
+        return done, bad, exceed, info

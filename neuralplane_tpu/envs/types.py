@@ -24,9 +24,11 @@ class EnvState:
 class StepOutput:
     """Per-step outputs, mirroring the reference's 6-tuple
     (obs, reward, done, bad_done, exceed_time_limit, info) at
-    `envs/env_base.py:99-109`; info is a dict of on-device counters."""
+    `envs/env_base.py:99-109`; info is a dict of on-device scalar counters
+    (per-condition termination triggers), flushed to host only when logged."""
     obs: jnp.ndarray
     reward: jnp.ndarray
     done: jnp.ndarray
     bad_done: jnp.ndarray
     exceed_time_limit: jnp.ndarray
+    info: Any = None

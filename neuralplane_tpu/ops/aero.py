@@ -112,3 +112,18 @@ def aero_coeffs(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     h = jnp.maximum(jnp.einsum("nki,kij->nkj", h, w.W3) + w.b3, 0.0)  # [n,K,10]
     y = jnp.einsum("nki,ki->nk", h, w.W4) + w.b4                      # [n,K]
     return y
+
+
+def aero_coeffs_t(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
+    """Coefficient-major variant: [K, n] rows in AERO_NAMES order.
+
+    The dynamics hot path consumes every coefficient as a separate [n]
+    vector; coefficient-major rows make those reads contiguous. With the
+    Pallas backend this matters enormously: slicing 43 lane-strided columns
+    out of a materialized [n, 43] array re-reads ~43x the buffer (~7.4 GB at
+    n=10^6), while one [n,43]->[43,n] transpose plus row reads costs ~0.5 GB.
+    """
+    if type(w).__name__ == "GroupedAeroWeights":
+        from .aero_pallas import aero_coeffs_pallas
+        return aero_coeffs_pallas(w, alpha_deg, beta_deg, el_deg).T
+    return aero_coeffs(w, alpha_deg, beta_deg, el_deg).T

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .aero import AeroWeights, aero_coeffs, IDX
+from .aero import AeroWeights, aero_coeffs_t, IDX
 from .atmosphere import atmos
 
 # F-16 mass/geometry constants (Stevens & Lewis).
@@ -75,10 +75,10 @@ def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     psi_dot = (Q * sphi + R * cphi) / ct
 
     # One stacked surrogate query for all 43 coefficients.
-    c = aero_coeffs(w, alpha, beta, el)
+    c = aero_coeffs_t(w, alpha, beta, el)
 
     def g(name: str) -> jnp.ndarray:
-        return c[:, IDX[name]]
+        return c[IDX[name]]
 
     Cx, Cz, Cm = g("Cx"), g("Cz"), g("Cm")
     Cy, Cn, Cl = g("Cy"), g("Cn"), g("Cl")

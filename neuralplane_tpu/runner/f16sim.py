@@ -106,6 +106,7 @@ class F16SimRunner(Runner):
             action_log_probs=logp, value_preds=values,
             rnn_states_actor=carry.h_actor, rnn_states_critic=carry.h_critic,
             done_count=out.done.sum() + out.bad_done.sum(),
+            info=out.info if out.info is not None else {},
         )
         new_carry = RolloutCarry(env_state=env_state, obs=out.obs,
                                  h_actor=h_a, h_critic=h_c, masks=next_masks,
@@ -135,7 +136,8 @@ class F16SimRunner(Runner):
             rnn_states_actor=steps["rnn_states_actor"],
             rnn_states_critic=steps["rnn_states_critic"],
         )
-        return carry, batch, steps["done_count"].sum()
+        counters = {k: v.sum() for k, v in steps.get("info", {}).items()}
+        return carry, batch, (steps["done_count"].sum(), counters)
 
     # ---- main loop ----
     def run(self) -> Dict[str, float]:
@@ -147,8 +149,8 @@ class F16SimRunner(Runner):
         train_infos: Dict[str, float] = {}
 
         for episode in range(episodes):
-            carry, batch, done_count = self.collect(self.train_state.params,
-                                                    carry)
+            carry, batch, (done_count, counters) = self.collect(
+                self.train_state.params, carry)
             train_infos = self.train(batch)
             total_num_steps = (episode + 1) * total_steps_per_episode
 
@@ -159,6 +161,8 @@ class F16SimRunner(Runner):
                         + (batch.bad_masks[1:] == 0).sum())
                 avg_rew = batch.rewards.sum() / jnp.maximum(ends, 1)
                 train_infos["average_episode_rewards"] = float(avg_rew)
+                train_infos.update(
+                    {k: float(v) for k, v in counters.items()})
                 fps = int(total_num_steps / (time.time() - start))
                 logging.info(
                     "episode %d/%d steps %d FPS %d avg_episode_reward %.3f",

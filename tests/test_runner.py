@@ -17,7 +17,10 @@ def test_collect_and_train(tmp_path):
     runner = F16SimRunner(env, cfg, run_dir=str(tmp_path))
 
     carry = runner.init_carry(jax.random.PRNGKey(0))
-    carry, batch, done_count = runner.collect(runner.train_state.params, carry)
+    carry, batch, (done_count, counters) = runner.collect(
+        runner.train_state.params, carry)
+    # per-condition on-device termination counters surface through collect
+    assert any(k.startswith("termination/") for k in counters)
 
     T, n = cfg.buffer_size, env.n
     assert batch.obs.shape == (T + 1, n, env.num_observation)
