@@ -124,6 +124,6 @@ def aero_coeffs_t(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     n=10^6), while one [n,43]->[43,n] transpose plus row reads costs ~0.5 GB.
     """
     if type(w).__name__ == "GroupedAeroWeights":
-        from .aero_pallas import aero_coeffs_pallas
-        return aero_coeffs_pallas(w, alpha_deg, beta_deg, el_deg).T
+        from .aero_pallas import aero_coeffs_pallas_t
+        return aero_coeffs_pallas_t(w, alpha_deg, beta_deg, el_deg)
     return aero_coeffs(w, alpha_deg, beta_deg, el_deg).T

@@ -20,7 +20,7 @@ Multiplies are bf16 with f32 accumulation - the same arithmetic XLA's
 default matmul precision uses on the stacked path (verified equal max error
 against a float64 oracle).
 
-Grid: 1-D over row tiles of T=1024; weight specs use constant index maps so
+Grid: 1-D over row tiles of T=2048; weight specs use constant index maps so
 they stay VMEM-resident across tiles (~1.1 MB total).
 
 No custom VJP: the dynamics are never differentiated through (PPO treats
@@ -44,7 +44,7 @@ S = 6                      # nets per group
 G = -(-K // S)             # 8 groups (43 padded to 48 net slots)
 WIDE = 128                 # lane-padded group width (6 x 20 = 120 -> 128)
 OUT = 64                   # lane-padded output width (48 -> 64)
-TILE = 1024                # rows per grid step
+TILE = 2048                # rows per grid step
 
 
 class GroupedAeroWeights(NamedTuple):
@@ -81,8 +81,13 @@ def pack_grouped(w: AeroWeights, dtype=jnp.float32) -> GroupedAeroWeights:
         b3[g, h3] = w_np.b3[k]
         W4[g * WIDE + s * 10:g * WIDE + (s + 1) * 10, k] = w_np.W4[k]
         b4[k] = w_np.b4[k]
-    return GroupedAeroWeights(*[jnp.asarray(a, dtype) for a in
-                                (W1, b1, W2, b2, W3, b3, W4, b4)])
+    # weights ship pre-cast to bf16 (multiplicand precision); biases stay
+    # f32 (they add into the f32 accumulators)
+    return GroupedAeroWeights(
+        W1=jnp.asarray(W1, jnp.bfloat16), b1=jnp.asarray(b1),
+        W2=jnp.asarray(W2, jnp.bfloat16), b2=jnp.asarray(b2),
+        W3=jnp.asarray(W3, jnp.bfloat16), b3=jnp.asarray(b3),
+        W4=jnp.asarray(W4, jnp.bfloat16), b4=jnp.asarray(b4))
 
 
 def _aero_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -90,25 +95,29 @@ def _aero_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     bf = jnp.bfloat16
     x = x_ref[:].astype(bf)  # [T, 3]
     for g in range(G):  # static unroll: 8 groups x 3 aligned matmuls
-        h = jnp.maximum(jnp.dot(x, w1_ref[g].astype(bf),
+        h = jnp.maximum(jnp.dot(x, w1_ref[g],
                                 preferred_element_type=jnp.float32)
                         + b1_ref[g], 0.0)
-        h = jnp.maximum(jnp.dot(h.astype(bf), w2_ref[g].astype(bf),
+        h = jnp.maximum(jnp.dot(h.astype(bf), w2_ref[g],
                                 preferred_element_type=jnp.float32)
                         + b2_ref[g], 0.0)
-        h = jnp.maximum(jnp.dot(h.astype(bf), w3_ref[g].astype(bf),
+        h = jnp.maximum(jnp.dot(h.astype(bf), w3_ref[g],
                                 preferred_element_type=jnp.float32)
                         + b3_ref[g], 0.0)
         h3_scratch[:, g * WIDE:(g + 1) * WIDE] = h.astype(bf)
-    # one wide block-diagonal output matmul -> all 43 coefficients
-    out_ref[:] = jnp.dot(h3_scratch[:], w4_ref[:].astype(bf),
-                         preferred_element_type=jnp.float32) + b4_ref[:]
+    # one wide block-diagonal output matmul -> all 43 coefficients, emitted
+    # COEFFICIENT-MAJOR [OUT, T]: the transpose happens here in VMEM, where
+    # it is a cheap relayout - doing it in XLA on the full [n, OUT] output
+    # costs ~16 GB of strided HBM traffic per eval at n=10^6
+    y = jnp.dot(h3_scratch[:], w4_ref[:],
+                preferred_element_type=jnp.float32) + b4_ref[:]
+    out_ref[:] = y.T
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def aero_coeffs_pallas(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
-                       tile: int = TILE) -> jnp.ndarray:
-    """Fused aero query; same contract as ops.aero.aero_coeffs -> [n, K]."""
+def aero_coeffs_pallas_t(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
+                         tile: int = TILE) -> jnp.ndarray:
+    """Fused aero query, coefficient-major: [K, n] rows in AERO_NAMES order."""
     n = alpha_deg.shape[0]
     x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=-1)  # [n, 3]
     tile = min(tile, max(8, n))
@@ -133,9 +142,16 @@ def aero_coeffs_pallas(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
             pl.BlockSpec((G * WIDE, OUT), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, OUT), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((OUT, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((OUT, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile, G * WIDE), jnp.bfloat16)],
     )(x, *gw)
-    return out[:n, :K]
+    return out[:K, :n]
+
+
+def aero_coeffs_pallas(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
+                       tile: int = TILE) -> jnp.ndarray:
+    """Row-major convenience wrapper -> [n, K] (transpose outside the
+    kernel; prefer aero_coeffs_pallas_t in hot paths)."""
+    return aero_coeffs_pallas_t(gw, alpha_deg, beta_deg, el_deg, tile).T
