@@ -105,7 +105,8 @@ class F16SimRunner(Runner):
             masks=carry.masks, bad_masks=carry.bad_masks,
             action_log_probs=logp, value_preds=values,
             rnn_states_actor=carry.h_actor, rnn_states_critic=carry.h_critic,
-            done_count=out.done.sum() + out.bad_done.sum(),
+            done_count=out.done.sum(),
+            bad_count=out.bad_done.sum(),
             info=out.info if out.info is not None else {},
         )
         new_carry = RolloutCarry(env_state=env_state, obs=out.obs,
@@ -137,7 +138,10 @@ class F16SimRunner(Runner):
             rnn_states_critic=steps["rnn_states_critic"],
         )
         counters = {k: v.sum() for k, v in steps.get("info", {}).items()}
-        return carry, batch, (steps["done_count"].sum(), counters)
+        counters["episodes_reached_target"] = steps["done_count"].sum()
+        counters["episodes_failed"] = steps["bad_count"].sum()
+        return carry, batch, (steps["done_count"].sum()
+                              + steps["bad_count"].sum(), counters)
 
     # ---- main loop ----
     def run(self) -> Dict[str, float]:
