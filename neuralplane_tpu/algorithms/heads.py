@@ -14,7 +14,7 @@ sample/mode/log_prob/entropy, all pure and jit-safe.
 """
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Sequence
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

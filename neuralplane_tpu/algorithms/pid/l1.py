@@ -13,8 +13,6 @@ latent broadcasting bug, L1Controller.py:150 vs :42; fixed here).
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import struct
 

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ...utils.config import EnvConfig
 from ...utils.math import wrap_PI
 from .. import rewards, terminations
 from .base import BaseTask, add_sensor_noise, vehicle_obs_tail

@@ -12,8 +12,6 @@ Units: US (ft, ft/s, lbf, rad) throughout, matching the reference.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

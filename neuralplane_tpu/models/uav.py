@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from ..ops.atmosphere import atmos as _atmos, eas2tas as _eas2tas
 from ..ops.dynamics import nlplant_uav

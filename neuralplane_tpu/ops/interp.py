@@ -14,7 +14,7 @@ used for data generation, where queries are always in-domain).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algorithms.ppo import PPOPolicy, PPOTrainer
 from ..algorithms.ppo.buffer import RolloutBatch
 from ..algorithms.rl_config import RLConfig
 from .base import Runner

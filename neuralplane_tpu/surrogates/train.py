@@ -15,7 +15,6 @@ loop: tables -> surrogates -> flight dynamics without any torch dependency.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Sequence, Tuple
 
