@@ -40,11 +40,13 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
-def shard_batch_tree(tree, n: int, mesh: Mesh, axis_name: str = "dp"):
-    """Shard every leaf whose leading dim equals n over axis_name; replicate
-    the rest (PRNG keys, scalars)."""
+def shard_batch_tree(tree, ns, mesh: Mesh, axis_name: str = "dp"):
+    """Shard every leaf whose leading dim is in `ns` (int or tuple) over
+    axis_name; replicate the rest (PRNG keys, scalars)."""
+    ns = (ns,) if isinstance(ns, int) else tuple(ns)
+
     def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n:
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] in ns:
             return shard_batch(leaf, mesh, axis_name)
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
@@ -52,11 +54,15 @@ def shard_batch_tree(tree, n: int, mesh: Mesh, axis_name: str = "dp"):
 
 
 def shard_env_state(state, mesh: Mesh, axis_name: str = "dp"):
-    """Shard an env-state or rollout-carry pytree on its agent-batch axis."""
+    """Shard an env-state or rollout-carry pytree on its agent-batch axis.
+
+    Selfplay carries hold both full-batch [n] env-state leaves and
+    ego-half [n/2] rollout leaves; both shard on the same dp axis.
+    """
     if hasattr(state, "step_count"):
         n = state.step_count.shape[0]
     elif hasattr(state, "env_state"):
         n = state.env_state.step_count.shape[0]
     else:
         raise ValueError("cannot infer batch size; use shard_batch_tree")
-    return shard_batch_tree(state, n, mesh, axis_name)
+    return shard_batch_tree(state, (n, n // 2), mesh, axis_name)

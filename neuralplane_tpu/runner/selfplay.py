@@ -51,9 +51,15 @@ class SelfplayRunner(Runner):
 
     def __init__(self, env, cfg: RLConfig, run_dir: str = "runs/selfplay",
                  eval_env=None, model_dir: Optional[str] = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False, mesh=None):
         super().__init__(env, cfg, run_dir, eval_env, model_dir,
                          use_tensorboard)
+        # Data-parallel mesh: env state + ego rollout sharded on 'dp',
+        # policy/opponent params replicated (see parallel/mesh.py).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+            self.train_state = replicate(self.train_state, mesh)
         self.num_envs = env.num_envs
         self.num_agents = env.num_agents
         self.half = self.num_agents // 2
@@ -241,6 +247,9 @@ class SelfplayRunner(Runner):
         start = time.time()
         train_infos: Dict[str, float] = {}
 
+        if self.mesh is not None:
+            from ..parallel import shard_env_state
+            carry = shard_env_state(carry, self.mesh)
         for episode in range(episodes):
             carry, batch, done_count = self.collect(
                 self.train_state.params, self.opponent_params, carry)

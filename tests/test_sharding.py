@@ -69,3 +69,22 @@ def test_env_state_shard_roundtrip():
     ref_state, ref_out = env.step(state, jnp.zeros((env.n, 4)))
     np.testing.assert_allclose(np.asarray(out.obs), np.asarray(ref_out.obs),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_selfplay_sharded_collect(tmp_path):
+    from neuralplane_tpu.envs import SingleCombatEnv
+    from neuralplane_tpu.runner import SelfplayRunner
+    mesh = make_mesh()
+    cfg = RLConfig(buffer_size=4, data_chunk_length=2, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(8,), act_hidden_sizes=(),
+                   recurrent_hidden_size=4, save_interval=100)
+    env = SingleCombatEnv(num_envs=8)  # n=16, n_ego=8: both divide 8 devices
+    runner = SelfplayRunner(env, cfg, run_dir=str(tmp_path), mesh=mesh)
+    carry = shard_env_state(runner.init_carry(jax.random.PRNGKey(0)), mesh)
+    assert _sharded_on_dp(carry.env_state.model.s)
+    assert _sharded_on_dp(carry.ego_obs)
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
