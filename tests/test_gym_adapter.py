@@ -40,12 +40,19 @@ class ToyEnv:
 
 
 def test_gym_runner_trains(tmp_path):
-    cfg = RLConfig(buffer_size=20, data_chunk_length=5, ppo_epoch=3,
+    cfg = RLConfig(buffer_size=20, data_chunk_length=5, ppo_epoch=4,
                    num_mini_batch=1, hidden_sizes=(16,), act_hidden_sizes=(),
-                   recurrent_hidden_size=8, num_env_steps=20 * 4 * 6,
-                   log_interval=1, save_interval=100, lr=3e-3)
-    envs = [ToyEnv(seed=i) for i in range(4)]
+                   recurrent_hidden_size=8, num_env_steps=20 * 8 * 25,
+                   log_interval=1, save_interval=1000, lr=5e-3)
+    envs = [ToyEnv(seed=i) for i in range(8)]
     runner = GymRunner(envs, cfg, run_dir=str(tmp_path))
     infos = runner.run()
     assert np.isfinite(infos["policy_loss"])
     assert np.isfinite(infos["average_episode_rewards"])
+
+    # PPO must actually LEARN the chase task: late episodes beat early ones
+    import json
+    recs = [json.loads(l) for l in open(f"{tmp_path}/metrics.jsonl")]
+    rew = [r["average_episode_rewards"] for r in recs]
+    early, late = np.mean(rew[:3]), np.mean(rew[-3:])
+    assert late > early + 0.5, f"no learning: {early:.2f} -> {late:.2f}"
