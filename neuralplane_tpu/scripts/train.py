@@ -87,6 +87,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-episodes", type=int, default=32)
     p.add_argument("--use-tensorboard", action="store_true")
     p.add_argument("--run-dir", default=None)
+    p.add_argument("--low-level-ckpt", default=None,
+                   help="Planning env: trained control-task actor checkpoint")
     p.add_argument("--use-mesh", action="store_true",
                    help="shard the env batch over all local devices (DP); "
                    "policy replicated, gradients all-reduced over ICI")
@@ -136,8 +138,18 @@ def make_env(args: argparse.Namespace):
         return ControlEnv(num_envs=n, config=args.scenario_name,
                           model=args.model_name)
     if args.env_name == "Planning":
+        low = None
+        if args.low_level_ckpt:
+            from ..utils.checkpoint import load_pytree
+            blob = load_pytree(args.low_level_ckpt)
+            if isinstance(blob, dict) and "train_state" in blob:
+                low = blob["train_state"].params["actor"]
+            elif isinstance(blob, dict) and "actor" in blob:
+                low = blob["actor"]
+            else:
+                low = blob
         return PlanningEnv(num_envs=n, config=args.scenario_name,
-                           model=args.model_name)
+                           model=args.model_name, low_level_params=low)
     if args.env_name == "SingleCombat":
         return SingleCombatEnv(num_envs=n, config=args.scenario_name)
     if args.env_name == "MultipleCombat":
