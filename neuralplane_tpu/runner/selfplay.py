@@ -216,9 +216,39 @@ class SelfplayRunner(Runner):
         @jax.jit
         def run(params, opp_params, carry):
             def body(c, _):
-                c, data = self._collect_step(params, opp_params, c)
-                return c, (data["rewards"], data["opp_rewards"],
-                           c.ego_masks, c.bad_masks)
+                # deterministic play for both sides, matching the
+                # reference's eval (:168-178 act(..., deterministic=True))
+                a_ego, h_a = self.policy.act(params, c.ego_obs, c.h_actor,
+                                             c.ego_masks, deterministic=True)
+                a_opp, h_opp = jax.vmap(
+                    lambda p, o, h, m: self.policy.act(
+                        {"actor": p}, o, h, m, deterministic=True))(
+                    opp_params, self._opp_slices(c.opp_obs),
+                    self._opp_slices(c.h_opp),
+                    self._opp_slices(c.opp_masks))
+                a_opp = a_opp.reshape(self.n_ego, -1)
+                env_state, out = self.env.step(c.env_state,
+                                               self._merge(a_ego, a_opp))
+
+                def env_any(x):
+                    per = jnp.any(x.reshape(self.num_envs, self.num_agents),
+                                  axis=1)
+                    return jnp.repeat(per, self.half)[:, None]
+                dones_env = env_any(out.done)
+                bad_env = env_any(out.bad_done)
+                reset_env = env_any(out.done | out.bad_done
+                                    | out.exceed_time_limit)
+                masks = 1.0 - dones_env.astype(jnp.float32)
+                bad_masks = 1.0 - bad_env.astype(jnp.float32)
+                keep = (1.0 - reset_env.astype(jnp.float32))[:, :, None]
+                ego_obs, opp_obs = self._split(out.obs)
+                ego_rew, opp_rew = self._split(out.reward[:, None])
+                c = c.replace(env_state=env_state, ego_obs=ego_obs,
+                              opp_obs=opp_obs, h_actor=h_a * keep,
+                              h_opp=h_opp.reshape(c.h_opp.shape) * keep,
+                              ego_masks=masks, opp_masks=masks,
+                              bad_masks=bad_masks)
+                return c, (ego_rew, opp_rew, masks, bad_masks)
             c, (rew, orew, masks, bads) = jax.lax.scan(body, carry, None,
                                                        length=steps)
             ends = ((masks == 0).sum() + (bads == 0).sum())
