@@ -80,8 +80,8 @@ def select_aero_weights(w: "AeroWeights", backend: str = "auto"):
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         backend = "pallas" if on_tpu else "stacked"
     if backend == "pallas":
-        from .aero_pallas import pack_grouped
-        return pack_grouped(w)
+        from .aero_pallas import pack_grouped_t
+        return pack_grouped_t(w)
     return w
 
 
@@ -98,6 +98,9 @@ def aero_coeffs(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     Returns:
         [n, K] coefficient matrix, column order = AERO_NAMES.
     """
+    if type(w).__name__ == "GroupedAeroWeightsT":
+        from .aero_pallas import aero_coeffs_pallas_ft
+        return aero_coeffs_pallas_ft(w, alpha_deg, beta_deg, el_deg).T
     if type(w).__name__ == "GroupedAeroWeights":
         from .aero_pallas import aero_coeffs_pallas
         return aero_coeffs_pallas(w, alpha_deg, beta_deg, el_deg)
@@ -123,7 +126,11 @@ def aero_coeffs_t(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     out of a materialized [n, 43] array re-reads ~43x the buffer (~7.4 GB at
     n=10^6), while one [n,43]->[43,n] transpose plus row reads costs ~0.5 GB.
     """
-    if type(w).__name__ == "GroupedAeroWeights":
+    tname = type(w).__name__
+    if tname == "GroupedAeroWeightsT":
+        from .aero_pallas import aero_coeffs_pallas_ft
+        return aero_coeffs_pallas_ft(w, alpha_deg, beta_deg, el_deg)
+    if tname == "GroupedAeroWeights":
         from .aero_pallas import aero_coeffs_pallas_t
         return aero_coeffs_pallas_t(w, alpha_deg, beta_deg, el_deg)
     return aero_coeffs(w, alpha_deg, beta_deg, el_deg).T
