@@ -103,13 +103,22 @@ class Env:
         # 1. auto-reset rows finished on the previous step
         state = self._masked_reset(state)
         # 2. advance dynamics
-        mstate = self.model.update(state.model, action)
+        if self.config.reuse_step_xdot:
+            # the integrator's own f(s, u) serves the overload/accel checks:
+            # "acceleration experienced during the step" instead of a second
+            # full dynamics evaluation at the post-step state (the single
+            # most expensive computation; exact semantics restorable via
+            # reuse_step_xdot: false)
+            mstate, xdot = self.model.update_with_xdot(state.model, action)
+        else:
+            mstate = self.model.update(state.model, action)
         step_count = state.step_count + 1
         # 3. observation (with sensor noise)
         key, k_obs = jax.random.split(state.key)
         obs = self.task.get_obs(self.model, mstate, state.task, k_obs)
         # 4. terminations - xdot computed once, shared by all consumers
-        xdot = self.model.extended_state(mstate)
+        if not self.config.reuse_step_xdot:
+            xdot = self.model.extended_state(mstate)
         done, bad, exceed, info = self.task.get_termination(
             self.model, mstate, xdot, step_count, state.task)
         # 5. reward (event-driven part consumes this step's flags)

@@ -19,7 +19,7 @@ from flax import struct
 from ..ops.aero import AeroWeights
 from ..ops.atmosphere import atmos as _atmos, eas2tas as _eas2tas
 from ..ops.dynamics import nlplant_f16
-from ..ops.integrators import integrate
+from ..ops.integrators import integrate, integrate_with_xdot
 from ..utils.config import EnvConfig
 
 GRAV = 32.174
@@ -95,6 +95,23 @@ class F16Model:
         f = lambda s_, u_: nlplant_f16(self.weights, s_, u_)
         s = integrate(f, state.s, u, self.dt, self.solver)
         return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u)
+
+    def update_with_xdot(self, state: F16State, action: jnp.ndarray):
+        """update() that also returns the step-start derivative f(s, u) -
+        the integrator computes it anyway, and consumers that accept the
+        one-substep-stale value (overload/accel checks) save a second full
+        dynamics evaluation per step."""
+        a = jnp.clip(action, -1.0, 1.0)
+        if a.shape[1] < 4:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
+        scale = jnp.array([THRUST_SCALE, SURFACE_SCALE, SURFACE_SCALE,
+                           SURFACE_SCALE], dtype=state.u.dtype)
+        u4 = 0.9 * state.u[:, :4] + 0.1 * a[:, :4] * scale
+        u = jnp.concatenate([u4, jnp.zeros_like(state.u[:, 4:5])], axis=1)
+        f = lambda s_, u_: nlplant_f16(self.weights, s_, u_)
+        s, xdot = integrate_with_xdot(f, state.s, u, self.dt, self.solver)
+        return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u), xdot
 
     def raw_control_update(self, state: F16State, u: jnp.ndarray) -> F16State:
         """Integrate with an explicitly-set control vector (PID/combat path)."""

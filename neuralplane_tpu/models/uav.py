@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..ops.atmosphere import atmos as _atmos, eas2tas as _eas2tas
 from ..ops.dynamics import nlplant_uav
-from ..ops.integrators import integrate
+from ..ops.integrators import integrate, integrate_with_xdot
 from ..utils.config import EnvConfig
 from .f16 import F16State
 
@@ -62,6 +62,14 @@ class UAVModel:
         f = lambda s_, u_: nlplant_uav(s_, u_[:, :3])
         s = integrate(f, state.s, u, self.dt, self.solver)
         return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u)
+
+    def update_with_xdot(self, state: F16State, action: jnp.ndarray):
+        a = jnp.clip(action, -1.0, 1.0)
+        u3 = 0.9 * state.u[:, :3] + 0.1 * a[:, :3] * FORCE_SCALE
+        u = jnp.concatenate([u3, jnp.zeros_like(state.u[:, 3:])], axis=1)
+        f = lambda s_, u_: nlplant_uav(s_, u_[:, :3])
+        s, xdot = integrate_with_xdot(f, state.s, u, self.dt, self.solver)
+        return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u), xdot
 
     def extended_state(self, state: F16State) -> jnp.ndarray:
         return nlplant_uav(state.s, state.u[:, :3])

@@ -39,3 +39,24 @@ def integrate(f: DynamicsFn, s: jnp.ndarray, u: jnp.ndarray, dt: float,
     except KeyError:
         raise ValueError(f"Unknown solver {solver!r}; options: {sorted(_SOLVERS)}")
     return step(f, s, u, dt)
+
+
+def integrate_with_xdot(f: DynamicsFn, s: jnp.ndarray, u: jnp.ndarray,
+                        dt: float, solver: str = "euler"):
+    """One step, also returning the step-start derivative f(s, u).
+
+    The derivative is a free byproduct (euler computes exactly it; rk4's k1
+    is it), letting consumers that need "the xdot experienced during this
+    step" (overload/accel checks) skip a second full dynamics evaluation -
+    the single most expensive computation in the env step.
+    """
+    if solver == "euler":
+        xdot = f(s, u)
+        return s + dt * xdot, xdot
+    if solver == "rk4":
+        k1 = f(s, u)
+        k2 = f(s + 0.5 * dt * k1, u)
+        k3 = f(s + 0.5 * dt * k2, u)
+        k4 = f(s + dt * k3, u)
+        return s + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), k1
+    raise ValueError(f"Unknown solver {solver!r}; options: {sorted(_SOLVERS)}")

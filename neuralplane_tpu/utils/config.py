@@ -94,6 +94,12 @@ class EnvConfig:
     low_level_steps: int = 50
     low_level_ckpt: Optional[str] = None
 
+    # reuse the integrator's step-start xdot for termination/accel checks
+    # (saves a full dynamics evaluation per step; the overload check sees the
+    # acceleration experienced DURING the step, one substep earlier than the
+    # reference's post-step recomputation - set false for exact semantics)
+    reuse_step_xdot: bool = True
+
     # deterministic-vs-random target resampling for the heading task
     # (the reference hardcodes fixed increments with the random path
     # commented out, `envs/tasks/heading_task.py:60-65`)
