@@ -120,3 +120,26 @@ def test_gym_vec_env_smoke():
             break
     # random full-range actions drive the F-16 out of envelope quickly
     assert fired
+
+
+def test_goal_reached_resets_row_and_resamples_target():
+    """is_done (goal reached) triggers the same masked full-row reset as
+    bad_done - model state re-inits AND the task target resamples (the
+    reference's env_base.py:83-97 semantics; UnreachHeading 'done' docs say
+    'resample' but the code resets the whole row - we mirror the code)."""
+    env = ControlEnv(num_envs=3, config="tracking")  # random targets
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    for _ in range(3):
+        state, out = env.step(state, jnp.zeros((env.n, env.num_actions)))
+    old_target = np.asarray(state.task.target_npos).copy()
+    old_count = np.asarray(state.step_count).copy()
+    assert (old_count > 0).all()
+
+    state = state.replace(is_done=state.is_done.at[1].set(True))
+    state2, _ = env.step(state, jnp.zeros((env.n, env.num_actions)))
+    new_count = np.asarray(state2.step_count)
+    assert new_count[1] == 1          # row 1 reset then stepped once
+    assert new_count[0] == old_count[0] + 1
+    new_target = np.asarray(state2.task.target_npos)
+    assert new_target[1] != old_target[1]      # resampled
+    np.testing.assert_allclose(new_target[0], old_target[0])  # untouched
