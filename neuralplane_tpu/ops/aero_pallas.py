@@ -38,7 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .aero import AeroWeights, K
+from .aero import AeroWeights, K, IDX
+from .buildup import B_SPAN, CBAR, coeff_buildup
 
 S = 6                      # nets per group
 G = -(-K // S)             # 8 groups (43 padded to 48 net slots)
@@ -244,3 +245,170 @@ def aero_coeffs_pallas_ft(gw_t: GroupedAeroWeightsT, alpha_deg, beta_deg,
         scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
     )(x, *gw_t)
     return out[:K, :n]
+
+
+# --- fused surrogate query + total-coefficient build-up ---
+#
+# Emitting all 43 raw coefficients costs a [64, n] HBM write (~256 MB at
+# n=10^6) that XLA immediately re-reads for the build-up (~4.5 ms of
+# elementwise fusions at n=10^6, measured). Folding the build-up into the
+# kernel shrinks the output to the six totals ([8, n] padded, 32 MB) and
+# runs the ~50 elementwise combine ops on VPU lane vectors that are already
+# VMEM-resident. The build-up arithmetic itself is shared with the XLA path
+# (ops/buildup.py) for single-source parity.
+
+N_FEATS = 10  # alpha beta el dlef dail drud P Q R inv_2v
+TOT = 8       # 6 totals, sublane-padded to 8
+
+
+def _aero_totals_kernel_t(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                          b3_ref, w4_ref, b4_ref, out_ref, h3_scratch):
+    bf = jnp.bfloat16
+    xt = x_ref[0:3, :].astype(bf)  # [3, T] alpha/beta/el, feature-major
+    for g in range(G):
+        h = jnp.maximum(jnp.dot(w1_ref[g], xt,
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[g][:, None], 0.0)
+        h = jnp.maximum(jnp.dot(w2_ref[g], h.astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b2_ref[g][:, None], 0.0)
+        h = jnp.maximum(jnp.dot(w3_ref[g], h.astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b3_ref[g][:, None], 0.0)
+        h3_scratch[g * WIDE:(g + 1) * WIDE, :] = h.astype(bf)
+    c = jnp.dot(w4_ref[:], h3_scratch[:],
+                preferred_element_type=jnp.float32) + b4_ref[:][:, None]
+
+    beta_deg = x_ref[1, :]
+    dlef, dail, drud = x_ref[3, :], x_ref[4, :], x_ref[5, :]
+    P, Q, R = x_ref[6, :], x_ref[7, :], x_ref[8, :]
+    inv_2v = x_ref[9, :]
+    totals = coeff_buildup(
+        lambda name: c[IDX[name]], dlef=dlef, dail=dail, drud=drud,
+        P=P, Q=Q, R=R, beta_deg=beta_deg,
+        half_cbar_v=CBAR * inv_2v, half_b_v=B_SPAN * inv_2v)
+    zeros = jnp.zeros_like(totals[0])
+    out_ref[:] = jnp.stack(list(totals) + [zeros] * (TOT - len(totals)))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def aero_totals_pallas_ft(gw_t: GroupedAeroWeightsT, feats: jnp.ndarray,
+                          tile: int = TILE) -> jnp.ndarray:
+    """Fused query + build-up. `feats` is the feature-major [N_FEATS, n]
+    stack (alpha_deg, beta_deg, el_deg, dlef, dail, drud, P, Q, R,
+    1/(2*vt)); returns [6, n] = (Cx, Cy, Cz, Cl, Cm, Cn) totals."""
+    n = feats.shape[1]
+    tile = min(tile, max(8, n))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        feats = jnp.pad(feats, ((0, 0), (0, n_pad - n)))
+
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    out = pl.pallas_call(
+        _aero_totals_kernel_t,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((N_FEATS, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, 3), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT, G * WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TOT, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TOT, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
+    )(feats, *gw_t)
+    return out[:6, :n]
+
+
+# --- whole-nlplant kernel: xdot = f(s, u) in one fused Pallas call ---
+#
+# Column slices of a [n,12] TPU array read at ~1/8 HBM bandwidth (the
+# feature dim lives in sublanes), and XLA materializes the per-feature
+# intermediates as 1-sublane [n,1] buffers - measured ~4.5 ms of slow loop
+# fusions per nlplant at n=10^6 even with the build-up fused. Moving the
+# ENTIRE state-derivative computation (navigation + atmosphere + force +
+# moment equations, ops/dynamics.py:nlplant_core) into the kernel leaves
+# XLA nothing but full-tile [n,12] reads/writes. s.T / u.T at the call
+# boundary are layout bitcasts (the [n,12] physical layout already has n
+# in lanes), not data movement.
+
+N_S = 12
+N_U = 5
+N_XD = 16  # 12 xdot rows, sublane-padded to 16
+
+
+def _xdot_kernel(s_ref, u_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                 b3_ref, w4_ref, b4_ref, out_ref, h3_scratch):
+    from .dynamics import R2D, nlplant_core
+    bf = jnp.bfloat16
+    alpha_deg = s_ref[7, :] * R2D
+    beta_deg = s_ref[8, :] * R2D
+    el = u_ref[1, :]
+    xt = jnp.stack([alpha_deg, beta_deg, el]).astype(bf)  # [3, T]
+    for g in range(G):
+        h = jnp.maximum(jnp.dot(w1_ref[g], xt,
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[g][:, None], 0.0)
+        h = jnp.maximum(jnp.dot(w2_ref[g], h.astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b2_ref[g][:, None], 0.0)
+        h = jnp.maximum(jnp.dot(w3_ref[g], h.astype(bf),
+                                preferred_element_type=jnp.float32)
+                        + b3_ref[g][:, None], 0.0)
+        h3_scratch[g * WIDE:(g + 1) * WIDE, :] = h.astype(bf)
+    c = jnp.dot(w4_ref[:], h3_scratch[:],
+                preferred_element_type=jnp.float32) + b4_ref[:][:, None]
+
+    sv = tuple(s_ref[i, :] for i in range(N_S))
+    uv = tuple(u_ref[i, :] for i in range(N_U))
+    xd = nlplant_core(sv, uv, lambda name: c[IDX[name]])
+    zeros = jnp.zeros_like(xd[0])
+    out_ref[:] = jnp.stack(xd + [zeros] * (N_XD - len(xd)))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def nlplant_pallas_ft(gw_t: GroupedAeroWeightsT, s: jnp.ndarray,
+                      u: jnp.ndarray, tile: int = TILE) -> jnp.ndarray:
+    """Fused F-16 state derivative: s [n,12], u [n,5] -> xdot [n,12]."""
+    n = s.shape[0]
+    s_t, u_t = s.T, u.T
+    tile = min(tile, max(8, n))
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        s_t = jnp.pad(s_t, ((0, 0), (0, n_pad - n)))
+        # padded rows: vt=0 clamps to 0.01 inside; keep cos(theta) != 0
+        u_t = jnp.pad(u_t, ((0, 0), (0, n_pad - n)))
+
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    out = pl.pallas_call(
+        _xdot_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((N_S, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_U, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, 3), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT, G * WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_XD, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_XD, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
+    )(s_t, u_t, *gw_t)
+    return out[:N_S, :n].T

@@ -20,15 +20,13 @@ import jax.numpy as jnp
 
 from .aero import AeroWeights, aero_coeffs_t, IDX
 from .atmosphere import atmos
+from .buildup import B_SPAN, CBAR, coeff_buildup
 
-# F-16 mass/geometry constants (Stevens & Lewis).
+# F-16 mass/geometry constants (Stevens & Lewis); B_SPAN/CBAR/XCG live in
+# ops/buildup.py (shared with the fused Pallas build-up).
 G = 32.17          # ft/s^2
 MASS = 636.94      # slugs
-B_SPAN = 30.0      # ft
 S_AREA = 300.0     # ft^2
-CBAR = 11.32       # ft
-XCGR = 0.35
-XCG = 0.30
 HENG = 0.0
 JY = 55814.0
 JXZ = 982.0
@@ -37,14 +35,24 @@ JX = 9496.0
 R2D = 180.0 / jnp.pi
 
 
-def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """F-16 state derivative. s: [n,12], u: [n,5] -> xdot [n,12]."""
-    alt = s[:, 2]
-    phi, theta, psi = s[:, 3], s[:, 4], s[:, 5]
-    vt = jnp.maximum(s[:, 6], 0.01)
-    alpha_r, beta_r = s[:, 7], s[:, 8]
-    P, Q, R = s[:, 9], s[:, 10], s[:, 11]
-    alpha, beta = alpha_r * R2D, beta_r * R2D
+def nlplant_core(sv, uv, get_coeff):
+    """Everything in nlplant except the surrogate matmuls, over generic
+    per-feature vectors - the single source of truth shared by the XLA path
+    (vectors are [n] column slices) and the fused Pallas kernel (vectors are
+    [T] lane rows of the tile block, ops/aero_pallas.py).
+
+    Args:
+        sv: tuple of the 12 state vectors (layout in the module docstring).
+        uv: tuple of the 5 control vectors (T, el, ail, rud, lef).
+        get_coeff: name -> surrogate-output vector (AERO_NAMES entry).
+
+    Returns:
+        list of the 12 state-derivative vectors.
+    """
+    _, _, alt, phi, theta, psi, vt_raw, alpha_r, beta_r, P, Q, R = sv
+    T, el, ail, rud, lef = uv
+    vt = jnp.maximum(vt_raw, 0.01)
+    beta_deg = beta_r * R2D
 
     sa, ca = jnp.sin(alpha_r), jnp.cos(alpha_r)
     sb, cb = jnp.sin(beta_r), jnp.cos(beta_r)
@@ -52,7 +60,6 @@ def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     sphi, cphi = jnp.sin(phi), jnp.cos(phi)
     spsi, cpsi = jnp.sin(psi), jnp.cos(psi)
 
-    T, el, ail, rud, lef = u[:, 0], u[:, 1], u[:, 2], u[:, 3], u[:, 4]
     dail = ail / 21.5
     drud = rud / 30.0
     dlef = 1.0 - lef / 25.0
@@ -74,55 +81,10 @@ def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     theta_dot = Q * cphi - R * sphi
     psi_dot = (Q * sphi + R * cphi) / ct
 
-    # One stacked surrogate query for all 43 coefficients.
-    c = aero_coeffs_t(w, alpha, beta, el)
-
-    def g(name: str) -> jnp.ndarray:
-        return c[IDX[name]]
-
-    Cx, Cz, Cm = g("Cx"), g("Cz"), g("Cm")
-    Cy, Cn, Cl = g("Cy"), g("Cn"), g("Cl")
-    Cxq, Cyr, Cyp, Czq = g("Cxq"), g("Cyr"), g("Cyp"), g("Czq")
-    Clr, Clp, Cmq, Cnr, Cnp = g("Clr"), g("Clp"), g("Cmq"), g("Cnr"), g("Cnp")
-    dCx_lef, dCz_lef, dCm_lef = g("delta_Cx_lef"), g("delta_Cz_lef"), g("delta_Cm_lef")
-    dCy_lef, dCn_lef, dCl_lef = g("delta_Cy_lef"), g("delta_Cn_lef"), g("delta_Cl_lef")
-    dCxq_lef, dCyr_lef, dCyp_lef = g("delta_Cxq_lef"), g("delta_Cyr_lef"), g("delta_Cyp_lef")
-    dClr_lef, dClp_lef, dCmq_lef = g("delta_Clr_lef"), g("delta_Clp_lef"), g("delta_Cmq_lef")
-    dCnr_lef, dCnp_lef = g("delta_Cnr_lef"), g("delta_Cnp_lef")
-    dCy_r30, dCn_r30, dCl_r30 = g("delta_Cy_r30"), g("delta_Cn_r30"), g("delta_Cl_r30")
-    dCy_a20, dCy_a20_lef = g("delta_Cy_a20"), g("delta_Cy_a20_lef")
-    dCn_a20, dCn_a20_lef = g("delta_Cn_a20"), g("delta_Cn_a20_lef")
-    dCl_a20, dCl_a20_lef = g("delta_Cl_a20"), g("delta_Cl_a20_lef")
-    dCnbeta, dClbeta, dCm = g("delta_Cnbeta"), g("delta_Clbeta"), g("delta_Cm")
-    eta_el = g("eta_el")
-    dCm_ds = 0.0  # deep-stall increment: zero in the reference (hifi_other_coeffs)
-
-    # Total coefficient build-up with rate damping and lef/aileron/rudder deltas.
-    half_cbar_v = CBAR / (2.0 * vt)
-    half_b_v = B_SPAN / (2.0 * vt)
-    dXdQ = half_cbar_v * (Cxq + dCxq_lef * dlef)
-    Cx_tot = Cx + dCx_lef * dlef + dXdQ * Q
-    dZdQ = half_cbar_v * (Czq + dCz_lef * dlef)
-    Cz_tot = Cz + dCz_lef * dlef + dZdQ * Q
-    dMdQ = half_cbar_v * (Cmq + dCmq_lef * dlef)
-    Cm_tot = (Cm * eta_el + Cz_tot * (XCGR - XCG) + dCm_lef * dlef
-              + dMdQ * Q + dCm + dCm_ds)
-    dYdail = dCy_a20 + dCy_a20_lef * dlef
-    dYdR = half_b_v * (Cyr + dCyr_lef * dlef)
-    dYdP = half_b_v * (Cyp + dCyp_lef * dlef)
-    Cy_tot = (Cy + dCy_lef * dlef + dYdail * dail + dCy_r30 * drud
-              + dYdR * R + dYdP * P)
-    dNdail = dCn_a20 + dCn_a20_lef * dlef
-    dNdR = half_b_v * (Cnr + dCnr_lef * dlef)
-    dNdP = half_b_v * (Cnp + dCnp_lef * dlef)
-    Cn_tot = (Cn + dCn_lef * dlef - Cy_tot * (XCGR - XCG) * (CBAR / B_SPAN)
-              + dNdail * dail + dCn_r30 * drud + dNdR * R + dNdP * P
-              + dCnbeta * beta)
-    dLdail = dCl_a20 + dCl_a20_lef * dlef
-    dLdR = half_b_v * (Clr + dClr_lef * dlef)
-    dLdP = half_b_v * (Clp + dClp_lef * dlef)
-    Cl_tot = (Cl + dCl_lef * dlef + dLdail * dail + dCl_r30 * drud
-              + dLdR * R + dLdP * P + dClbeta * beta)
+    inv_2v = 1.0 / (2.0 * vt)
+    Cx_tot, Cy_tot, Cz_tot, Cl_tot, Cm_tot, Cn_tot = coeff_buildup(
+        get_coeff, dlef=dlef, dail=dail, drud=drud, P=P, Q=Q, R=R,
+        beta_deg=beta_deg, half_cbar_v=CBAR * inv_2v, half_b_v=B_SPAN * inv_2v)
 
     # Wind-axis force equations.
     qS_m = qbar * S_AREA / MASS
@@ -146,10 +108,32 @@ def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
              + (JX * (JX - JY) + JXZ * JXZ) * P * Q
              - JXZ * (JX - JY + JZ) * Q * R + JX * Q * HENG) / denom
 
-    return jnp.stack([
-        npos_dot, epos_dot, alt_dot, phi_dot, theta_dot, psi_dot,
-        vt_dot, alpha_dot, beta_dot, P_dot, Q_dot, R_dot,
-    ], axis=1)
+    return [npos_dot, epos_dot, alt_dot, phi_dot, theta_dot, psi_dot,
+            vt_dot, alpha_dot, beta_dot, P_dot, Q_dot, R_dot]
+
+
+def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """F-16 state derivative. s: [n,12], u: [n,5] -> xdot [n,12].
+
+    On the TPU path (w is GroupedAeroWeightsT) the WHOLE computation -
+    surrogate matmuls, coefficient build-up, navigation/force/moment
+    equations - runs inside one fused Pallas kernel (nlplant_pallas_ft),
+    so per step XLA touches only [n,12] in / [n,12] out. Column slices of
+    [n,12] arrays read at ~1/8 HBM bandwidth on TPU (the 12-dim lives in
+    sublanes), so keeping the per-feature math out of XLA is worth ~4.5 ms
+    at n=10^6. The portable path runs the identical arithmetic
+    (nlplant_core) on XLA vectors.
+    """
+    if type(w).__name__ == "GroupedAeroWeightsT":
+        from .aero_pallas import nlplant_pallas_ft
+        return nlplant_pallas_ft(w, s, u)
+    alpha = s[:, 7] * R2D
+    beta = s[:, 8] * R2D
+    c = aero_coeffs_t(w, alpha, beta, u[:, 1])
+    xd = nlplant_core(tuple(s[:, i] for i in range(12)),
+                      tuple(u[:, i] for i in range(5)),
+                      lambda name: c[IDX[name]])
+    return jnp.stack(xd, axis=1)
 
 
 # --- UAV (simplified rigid body, SI units) ---
