@@ -53,6 +53,16 @@ class Env:
             weights = select_aero_weights(load_aero_weights(), aero_backend)
         self.model = MODELS[model](self.config, weights)
         self.task = TASKS[task](self.config)
+        # Fused post-step task kernel (obs+terminations+reward in one
+        # Pallas pass, ops/task_pallas.py): TPU aero backend + F16 + a
+        # control task. Equivalent to the XLA path by construction
+        # (tests/test_task_pallas.py); disable via config.
+        self._task_kernel = (
+            model == "F16"
+            and type(weights).__name__ == "GroupedAeroWeightsT"
+            and getattr(self.task, "kernel_variant", None) is not None
+            and getattr(self.config, "fused_task_kernel", True)
+            and self.config.reuse_step_xdot)
 
     # --- properties mirroring the reference env API ---
     @property
@@ -97,11 +107,16 @@ class Env:
         obs = self.task.get_obs(self.model, state.model, state.task, k_obs)
         return state, obs
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def step(self, state: EnvState, action: jnp.ndarray
              ) -> Tuple[EnvState, StepOutput]:
+        """One env step. NOTE: the input `state` is donated on accelerator
+        backends (its buffers are reused for the new state - ~0.2 ms of
+        copies saved at n=10^6); don't reuse it after calling step."""
         # 1. auto-reset rows finished on the previous step
         state = self._masked_reset(state)
+        if self._task_kernel:
+            return self._step_fused(state, action)
         # 2. advance dynamics
         if self.config.reuse_step_xdot:
             # the integrator's own f(s, u) serves the overload/accel checks:
@@ -123,6 +138,32 @@ class Env:
             self.model, mstate, xdot, step_count, state.task)
         # 5. reward (event-driven part consumes this step's flags)
         reward = self.task.get_reward(self.model, mstate, state.task, done, bad)
+        new_state = EnvState(
+            model=mstate, task=state.task, step_count=step_count,
+            is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,
+        )
+        out = StepOutput(obs=obs, reward=reward, done=done, bad_done=bad,
+                         exceed_time_limit=exceed, info=info)
+        return new_state, out
+
+    def _step_fused(self, state: EnvState, action: jnp.ndarray
+                    ) -> Tuple[EnvState, StepOutput]:
+        """TPU fast path after _masked_reset: dynamics kernel + one fused
+        task kernel; only the actuator lag, integrator add, and sensor
+        noise remain in XLA. Semantics identical to the portable step."""
+        from ..ops.task_pallas import COND_NAMES, task_step_pallas
+        from .tasks.base import add_sensor_noise
+
+        mstate, xdot = self.model.update_with_xdot(state.model, action)
+        step_count = state.step_count + 1
+        obs_nl, done, bad, reward, counts = task_step_pallas(
+            self.task.kernel_variant, self.config, mstate.s, mstate.u,
+            xdot, self.task.kernel_targets(state.task), step_count)
+        key, k_obs = jax.random.split(state.key)
+        obs = add_sensor_noise(obs_nl, k_obs, self.config.noise_scale)
+        exceed = jnp.zeros_like(done)
+        info = {f"termination/{nm}": counts[i].astype(jnp.int32)
+                for i, nm in enumerate(COND_NAMES[self.task.kernel_variant])}
         new_state = EnvState(
             model=mstate, task=state.task, step_count=step_count,
             is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,

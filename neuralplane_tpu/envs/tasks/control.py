@@ -22,6 +22,12 @@ class ControlTaskState:
 
 
 class ControlTask(BaseTask):
+    kernel_variant = "control"
+
+    @staticmethod
+    def kernel_targets(tstate: "ControlTaskState"):
+        return (tstate.target_pitch, tstate.target_heading, tstate.target_vt)
+
     def init_state(self, n: int) -> ControlTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return ControlTaskState(target_pitch=z, target_heading=z, target_vt=z)

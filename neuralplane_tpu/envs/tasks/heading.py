@@ -27,6 +27,14 @@ class HeadingTaskState:
 
 
 class HeadingTask(BaseTask):
+    # fused TPU task kernel (ops/task_pallas.py) variant + target row order
+    kernel_variant = "heading"
+
+    @staticmethod
+    def kernel_targets(tstate: "HeadingTaskState"):
+        return (tstate.target_altitude, tstate.target_heading,
+                tstate.target_vt)
+
     def init_state(self, n: int) -> HeadingTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return HeadingTaskState(target_altitude=z, target_heading=z, target_vt=z)

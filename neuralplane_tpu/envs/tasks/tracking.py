@@ -21,6 +21,13 @@ class TrackingTaskState:
 
 
 class TrackingTask(BaseTask):
+    kernel_variant = "tracking"
+
+    @staticmethod
+    def kernel_targets(tstate: "TrackingTaskState"):
+        return (tstate.target_npos, tstate.target_epos,
+                tstate.target_altitude)
+
     def init_state(self, n: int) -> TrackingTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return TrackingTaskState(target_npos=z, target_epos=z, target_altitude=z)

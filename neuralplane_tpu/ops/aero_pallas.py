@@ -377,21 +377,21 @@ def _xdot_kernel(s_ref, u_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 @functools.partial(jax.jit, static_argnames=("tile",))
 def nlplant_pallas_ft(gw_t: GroupedAeroWeightsT, s: jnp.ndarray,
                       u: jnp.ndarray, tile: int = TILE) -> jnp.ndarray:
-    """Fused F-16 state derivative: s [n,12], u [n,5] -> xdot [n,12]."""
+    """Fused F-16 state derivative: s [n,12], u [n,5] -> xdot [n,12].
+
+    No host-side batch padding: Mosaic masks the trailing partial block
+    (lanes past n never reach HBM; garbage there stays lane-local since
+    the matmuls contract over features, not batch). Padding [12,n] inputs
+    to a tile multiple cost ~0.5 ms of pad/slice traffic at n=10^6."""
     n = s.shape[0]
     s_t, u_t = s.T, u.T
     tile = min(tile, max(8, n))
-    n_pad = -(-n // tile) * tile
-    if n_pad != n:
-        s_t = jnp.pad(s_t, ((0, 0), (0, n_pad - n)))
-        # padded rows: vt=0 clamps to 0.01 inside; keep cos(theta) != 0
-        u_t = jnp.pad(u_t, ((0, 0), (0, n_pad - n)))
 
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
     out = pl.pallas_call(
         _xdot_kernel,
-        grid=(n_pad // tile,),
+        grid=(-(-n // tile),),
         in_specs=[
             pl.BlockSpec((N_S, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -408,7 +408,7 @@ def nlplant_pallas_ft(gw_t: GroupedAeroWeightsT, s: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((N_XD, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N_XD, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N_XD, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
     )(s_t, u_t, *gw_t)
-    return out[:N_S, :n].T
+    return out[:N_S].T

@@ -100,6 +100,10 @@ class EnvConfig:
     # reference's post-step recomputation - set false for exact semantics)
     reuse_step_xdot: bool = True
 
+    # fuse obs+terminations+reward into one Pallas pass on the TPU path
+    # (ops/task_pallas.py); semantics identical to the XLA task layer
+    fused_task_kernel: bool = True
+
     # deterministic-vs-random target resampling for the heading task
     # (the reference hardcodes fixed increments with the random path
     # commented out, `envs/tasks/heading_task.py:60-65`)

@@ -65,8 +65,11 @@ def test_env_state_shard_roundtrip():
     sharded = shard_env_state(state, mesh)
     assert _sharded_on_dp(sharded.model.s)
     # stepping a sharded state keeps it sharded and correct
+    # (env.step donates its state arg; copy since state/sharded may share
+    # replicated leaves like the PRNG key)
+    state_copy = jax.tree.map(jnp.array, state)
     state2, out = env.step(sharded, jnp.zeros((env.n, 4)))
-    ref_state, ref_out = env.step(state, jnp.zeros((env.n, 4)))
+    ref_state, ref_out = env.step(state_copy, jnp.zeros((env.n, 4)))
     np.testing.assert_allclose(np.asarray(out.obs), np.asarray(ref_out.obs),
                                rtol=2e-4, atol=2e-5)
 
