@@ -56,148 +56,181 @@ def _wrap_pi(a):
     return jnp.where(res > PI, res - 2.0 * PI, res)
 
 
+def task_consts(cfg) -> dict:
+    """Config scalars consumed by the task layer, baked at trace time."""
+    return dict(
+        airspeed=float(cfg.airspeed),
+        acc_limit=float(cfg.acceleration_limit),
+        alt_limit=float(cfg.altitude_limit),
+        max_mach=float(cfg.max_velocity),
+        min_mach=float(cfg.min_velocity),
+        min_alpha=float(cfg.min_alpha), max_alpha=float(cfg.max_alpha),
+        min_beta=float(cfg.min_beta), max_beta=float(cfg.max_beta),
+        max_check=int(cfg.max_check_interval),
+        min_check=int(cfg.min_check_interval),
+    )
+
+
+def task_rows(variant: str, c: dict, sr, ur, xdr, tr, step_count):
+    """Row-level task layer shared by the standalone task kernel and the
+    whole-step kernel (ops/step_pallas.py).
+
+    sr: 12 state rows, ur: 5 control rows (post-update), xdr: 12 xdot rows
+    (step-start derivative), tr: 3 target rows, step_count: [T] int32 -
+    all [T] lane vectors living in one grid tile.
+
+    Returns (obs_rows list[22], done bool[T], bad bool[T], reward f32[T],
+    conds list[6] of bool[T] in COND_NAMES order, with the last entry the
+    unreach trigger = goal | overtime-miss).
+    """
+    airspeed = c["airspeed"]
+    npos, epos, alt = sr[0], sr[1], sr[2]
+    roll, pitch, hdg = sr[3], sr[4], sr[5]
+    vt, alpha, beta = sr[6], sr[7], sr[8]
+    P, Q, R = sr[9], sr[10], sr[11]
+    T, el, ail, rud, lef = ur[0], ur[1], ur[2], ur[3], ur[4]
+    t0, t1, t2 = tr[0], tr[1], tr[2]
+
+    # --- observation (head + 19-slot tail, tasks/base.py layout) ---
+    if variant == "heading":
+        head = [(alt - t0) * FT / 1000.0,
+                _wrap_pi(hdg - t1),
+                (vt - t2) * FT / 340.0]
+    elif variant == "control":
+        head = [_wrap_pi(pitch - t0),
+                _wrap_pi(hdg - t1),
+                (vt - t2) * FT / 340.0]
+    else:  # tracking
+        head = [(npos - t0) * FT / 1000.0,
+                (epos - t1) * FT / 1000.0,
+                (alt - t2) * FT / 1000.0]
+
+    tfac = 1.0 - 0.703e-5 * alt
+    eas2tas = jnp.sqrt(1.0 / jnp.power(tfac, 4.14))
+    TAS = vt + airspeed
+    EAS = TAS / eas2tas
+    sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
+    sin_b, cos_b = jnp.sin(beta), jnp.cos(beta)
+    tail = [
+        alt * FT / 5000.0,
+        jnp.sin(roll), jnp.cos(roll),
+        jnp.sin(pitch), jnp.cos(pitch),
+        EAS * FT / 340.0,
+        sin_a, cos_a, sin_b, cos_b,
+        P, Q, R,
+        T * THRUST_NORM,
+        el / 45.0, ail / 45.0, rud / 45.0, lef / 45.0,
+        eas2tas,
+    ]
+    obs_rows = head + tail
+
+    # --- terminations (envs/terminations.py semantics) ---
+    # overload: body accel magnitude from the step xdot
+    # (models/f16.py:_body_accel / get_acceleration)
+    vel_u = vt * cos_b * cos_a
+    vel_v = vt * sin_b
+    vel_w = vt * cos_b * sin_a
+    vt_d, al_d, be_d = xdr[6], xdr[7], xdr[8]
+    u_dot = cos_b * cos_a * vt_d - vt * sin_b * cos_a * be_d \
+        - vt * cos_b * sin_a * al_d
+    v_dot = sin_b * vt_d + vt * cos_b * be_d
+    w_dot = cos_b * sin_a * vt_d - vt * sin_b * sin_a * be_d \
+        + vt * cos_b * cos_a * al_d
+    ax = u_dot + Q * vel_w - R * vel_v
+    ay = v_dot + R * vel_u - P * vel_w
+    az = w_dot + P * vel_v - Q * vel_u
+    acc = jnp.sqrt(ax * ax + ay * ay + az * az)
+    c_overload = acc > c["acc_limit"]
+    c_low_alt = alt < c["alt_limit"]
+    mach = TAS * FT / 340.0
+    c_high_spd = mach >= c["max_mach"]
+    c_low_spd = mach <= c["min_mach"]
+    alpha_deg, beta_deg = alpha * R2D, beta * R2D
+    c_extreme = ((alpha_deg < c["min_alpha"]) | (alpha_deg > c["max_alpha"])
+                 | (beta_deg < c["min_beta"]) | (beta_deg > c["max_beta"]))
+
+    over_max = step_count >= c["max_check"]
+    if variant == "heading":
+        off = ((jnp.abs(_wrap_pi(hdg - t1)) >= PI / 36.0)
+               | (jnp.abs(alt - t0) >= 100.0)
+               | (jnp.abs(vt - t2) >= 20.0))
+        goal = (~off) & (~over_max) & (step_count >= c["min_check"])
+    elif variant == "control":
+        off = ((jnp.abs(_wrap_pi(hdg - t1)) >= PI / 36.0)
+               | (jnp.abs(_wrap_pi(pitch - t0)) >= PI / 36.0)
+               | (jnp.abs(vt - t2) >= 20.0))
+        goal = (~off) & (~over_max)
+    else:  # tracking
+        off = ((jnp.abs(npos - t0) >= 100.0)
+               | (jnp.abs(epos - t1) >= 100.0)
+               | (jnp.abs(alt - t2) >= 100.0))
+        goal = (~off) & (~over_max)
+    c_unreach_bad = over_max & off
+
+    bad = (c_overload | c_low_alt | c_high_spd | c_low_spd | c_extreme
+           | c_unreach_bad)
+    done = goal
+
+    # --- reward (shaped + event-driven +-200) ---
+    if variant == "heading":
+        d0 = (alt - t0) * FT / 1000.0
+        d1 = _wrap_pi(hdg - t1) / PI
+        d2 = (vt - t2) * FT / 340.0
+        base = -(d0 * d0) - (d1 * d1) - (d2 * d2)
+    elif variant == "control":
+        d0 = _wrap_pi(pitch - t0) / PI
+        d1 = _wrap_pi(hdg - t1) / PI
+        d2 = (vt - t2) * FT / 340.0
+        base = -(d0 * d0) - (d1 * d1) - (d2 * d2)
+    else:
+        d0 = (npos - t0) * FT / 1000.0
+        d1 = (epos - t1) * FT / 1000.0
+        d2 = (alt - t2) * FT / 1000.0
+        base = 0.1 * (-(d0 * d0) - (d1 * d1) - (d2 * d2))
+    f32 = jnp.float32
+    reward = base + 200.0 * done.astype(f32) - 200.0 * bad.astype(f32)
+    conds = [c_overload, c_low_alt, c_high_spd, c_low_spd, c_extreme,
+             c_unreach_bad | goal]
+    return obs_rows, done, bad, reward, conds
+
+
+def write_task_outputs(obs_rows, done, bad, reward, conds, n, tile,
+                       obs_ref, done_ref, bad_ref, rew_ref, cnt_ref):
+    """Store the task layer's results into kernel output refs (shared by
+    the standalone and whole-step kernels)."""
+    f32 = jnp.float32
+    zeros = jnp.zeros_like(obs_rows[0])
+    obs_ref[:] = jnp.stack(obs_rows + [zeros] * (N_OBS - len(obs_rows)))
+    rew_ref[...] = reward
+    done_ref[...] = done.astype(f32)
+    bad_ref[...] = bad.astype(f32)
+
+    # --- per-tile trigger counts (valid rows only) ---
+    i = pl.program_id(0)
+    idx = i * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)[0]
+    valid = idx < n
+    counts = [jnp.sum((cd & valid).astype(f32)) for cd in conds]
+    counts += [jnp.zeros((), f32)] * (N_CND - len(counts))
+    # TPU blocks need 128-lane width: replicate each tile's counts
+    # across the lane dim; the wrapper reads lane 0 of each block.
+    cnt_ref[:] = jnp.broadcast_to(jnp.stack(counts)[:, None],
+                                  (N_CND, 128))
+
+
 def _make_kernel(variant: str, cfg, n: int, tile: int):
     """Bake config scalars and the task variant into a kernel closure."""
-    airspeed = float(cfg.airspeed)
-    acc_limit = float(cfg.acceleration_limit)
-    alt_limit = float(cfg.altitude_limit)
-    max_mach = float(cfg.max_velocity)
-    min_mach = float(cfg.min_velocity)
-    min_alpha, max_alpha = float(cfg.min_alpha), float(cfg.max_alpha)
-    min_beta, max_beta = float(cfg.min_beta), float(cfg.max_beta)
-    max_check = int(cfg.max_check_interval)
-    min_check = int(cfg.min_check_interval)
+    c = task_consts(cfg)
 
     def kernel(s_ref, u_ref, xd_ref, tgt_ref, sc_ref,
                obs_ref, done_ref, bad_ref, rew_ref, cnt_ref):
-        alt = s_ref[2, :]
-        roll, pitch, hdg = s_ref[3, :], s_ref[4, :], s_ref[5, :]
-        vt = s_ref[6, :]
-        alpha, beta = s_ref[7, :], s_ref[8, :]
-        P, Q, R = s_ref[9, :], s_ref[10, :], s_ref[11, :]
-        T, el, ail, rud, lef = (u_ref[0, :], u_ref[1, :], u_ref[2, :],
-                                u_ref[3, :], u_ref[4, :])
-        npos, epos = s_ref[0, :], s_ref[1, :]
-        t0, t1, t2 = tgt_ref[0, :], tgt_ref[1, :], tgt_ref[2, :]
-        step_count = sc_ref[...]
-
-        # --- observation (head + 19-slot tail, tasks/base.py layout) ---
-        if variant == "heading":
-            head = [(alt - t0) * FT / 1000.0,
-                    _wrap_pi(hdg - t1),
-                    (vt - t2) * FT / 340.0]
-        elif variant == "control":
-            head = [_wrap_pi(pitch - t0),
-                    _wrap_pi(hdg - t1),
-                    (vt - t2) * FT / 340.0]
-        else:  # tracking
-            head = [(npos - t0) * FT / 1000.0,
-                    (epos - t1) * FT / 1000.0,
-                    (alt - t2) * FT / 1000.0]
-
-        tfac = 1.0 - 0.703e-5 * alt
-        eas2tas = jnp.sqrt(1.0 / jnp.power(tfac, 4.14))
-        TAS = vt + airspeed
-        EAS = TAS / eas2tas
-        sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
-        sin_b, cos_b = jnp.sin(beta), jnp.cos(beta)
-        tail = [
-            alt * FT / 5000.0,
-            jnp.sin(roll), jnp.cos(roll),
-            jnp.sin(pitch), jnp.cos(pitch),
-            EAS * FT / 340.0,
-            sin_a, cos_a, sin_b, cos_b,
-            P, Q, R,
-            T * THRUST_NORM,
-            el / 45.0, ail / 45.0, rud / 45.0, lef / 45.0,
-            eas2tas,
-        ]
-        rows = head + tail
-        zeros = jnp.zeros_like(alt)
-        obs_ref[:] = jnp.stack(rows + [zeros] * (N_OBS - len(rows)))
-
-        # --- terminations (envs/terminations.py semantics) ---
-        # overload: body accel magnitude from the step xdot
-        # (models/f16.py:_body_accel / get_acceleration)
-        vel_u = vt * cos_b * cos_a
-        vel_v = vt * sin_b
-        vel_w = vt * cos_b * sin_a
-        vt_d, al_d, be_d = xd_ref[6, :], xd_ref[7, :], xd_ref[8, :]
-        u_dot = cos_b * cos_a * vt_d - vt * sin_b * cos_a * be_d \
-            - vt * cos_b * sin_a * al_d
-        v_dot = sin_b * vt_d + vt * cos_b * be_d
-        w_dot = cos_b * sin_a * vt_d - vt * sin_b * sin_a * be_d \
-            + vt * cos_b * cos_a * al_d
-        ax = u_dot + Q * vel_w - R * vel_v
-        ay = v_dot + R * vel_u - P * vel_w
-        az = w_dot + P * vel_v - Q * vel_u
-        acc = jnp.sqrt(ax * ax + ay * ay + az * az)
-        c_overload = acc > acc_limit
-        c_low_alt = alt < alt_limit
-        mach = TAS * FT / 340.0
-        c_high_spd = mach >= max_mach
-        c_low_spd = mach <= min_mach
-        alpha_deg, beta_deg = alpha * R2D, beta * R2D
-        c_extreme = ((alpha_deg < min_alpha) | (alpha_deg > max_alpha)
-                     | (beta_deg < min_beta) | (beta_deg > max_beta))
-
-        over_max = step_count >= max_check
-        if variant == "heading":
-            off = ((jnp.abs(_wrap_pi(hdg - t1)) >= PI / 36.0)
-                   | (jnp.abs(alt - t0) >= 100.0)
-                   | (jnp.abs(vt - t2) >= 20.0))
-            goal = (~off) & (~over_max) & (step_count >= min_check)
-        elif variant == "control":
-            off = ((jnp.abs(_wrap_pi(hdg - t1)) >= PI / 36.0)
-                   | (jnp.abs(_wrap_pi(pitch - t0)) >= PI / 36.0)
-                   | (jnp.abs(vt - t2) >= 20.0))
-            goal = (~off) & (~over_max)
-        else:  # tracking
-            off = ((jnp.abs(npos - t0) >= 100.0)
-                   | (jnp.abs(epos - t1) >= 100.0)
-                   | (jnp.abs(alt - t2) >= 100.0))
-            goal = (~off) & (~over_max)
-        c_unreach_bad = over_max & off
-
-        bad = (c_overload | c_low_alt | c_high_spd | c_low_spd | c_extreme
-               | c_unreach_bad)
-        done = goal
-
-        # --- reward (shaped + event-driven +-200) ---
-        if variant == "heading":
-            d0 = (alt - t0) * FT / 1000.0
-            d1 = _wrap_pi(hdg - t1) / PI
-            d2 = (vt - t2) * FT / 340.0
-            base = -(d0 * d0) - (d1 * d1) - (d2 * d2)
-        elif variant == "control":
-            d0 = _wrap_pi(pitch - t0) / PI
-            d1 = _wrap_pi(hdg - t1) / PI
-            d2 = (vt - t2) * FT / 340.0
-            base = -(d0 * d0) - (d1 * d1) - (d2 * d2)
-        else:
-            d0 = (npos - t0) * FT / 1000.0
-            d1 = (epos - t1) * FT / 1000.0
-            d2 = (alt - t2) * FT / 1000.0
-            base = 0.1 * (-(d0 * d0) - (d1 * d1) - (d2 * d2))
-        f32 = jnp.float32
-        rew_ref[...] = base + 200.0 * done.astype(f32) \
-            - 200.0 * bad.astype(f32)
-        done_ref[...] = done.astype(f32)
-        bad_ref[...] = bad.astype(f32)
-
-        # --- per-tile trigger counts (valid rows only) ---
-        i = pl.program_id(0)
-        idx = i * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)[0]
-        valid = idx < n
-        unreach_any = c_unreach_bad | goal
-        conds = [c_overload, c_low_alt, c_high_spd, c_low_spd, c_extreme,
-                 unreach_any]
-        counts = [jnp.sum((c & valid).astype(f32)) for c in conds]
-        counts += [jnp.zeros((), f32)] * (N_CND - len(counts))
-        # TPU blocks need 128-lane width: replicate each tile's counts
-        # across the lane dim; the wrapper reads lane 0 of each block.
-        cnt_ref[:] = jnp.broadcast_to(jnp.stack(counts)[:, None],
-                                      (N_CND, 128))
+        sr = tuple(s_ref[i, :] for i in range(12))
+        ur = tuple(u_ref[i, :] for i in range(5))
+        xdr = tuple(xd_ref[i, :] for i in range(12))
+        tr = tuple(tgt_ref[i, :] for i in range(3))
+        obs_rows, done, bad, reward, conds = task_rows(
+            variant, c, sr, ur, xdr, tr, sc_ref[...])
+        write_task_outputs(obs_rows, done, bad, reward, conds, n, tile,
+                           obs_ref, done_ref, bad_ref, rew_ref, cnt_ref)
 
     return kernel
 
