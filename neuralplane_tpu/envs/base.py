@@ -113,10 +113,10 @@ class Env:
         """One env step. NOTE: the input `state` is donated on accelerator
         backends (its buffers are reused for the new state - ~0.2 ms of
         copies saved at n=10^6); don't reuse it after calling step."""
-        # 1. auto-reset rows finished on the previous step
-        state = self._masked_reset(state)
         if self._task_kernel:
             return self._step_fused(state, action)
+        # 1. auto-reset rows finished on the previous step
+        state = self._masked_reset(state)
         # 2. advance dynamics
         if self.config.reuse_step_xdot:
             # the integrator's own f(s, u) serves the overload/accel checks:
@@ -148,24 +148,51 @@ class Env:
 
     def _step_fused(self, state: EnvState, action: jnp.ndarray
                     ) -> Tuple[EnvState, StepOutput]:
-        """TPU fast path after _masked_reset: dynamics kernel + one fused
-        task kernel; only the actuator lag, integrator add, and sensor
-        noise remain in XLA. Semantics identical to the portable step."""
-        from ..ops.task_pallas import COND_NAMES, task_step_pallas
+        """TPU fast path: the ENTIRE step (masked reset select, actuator
+        lag, dynamics, Euler, obs/terminations/reward) runs in one Pallas
+        kernel (ops/step_pallas.py); XLA keeps only the [n]-vector work:
+        init draws, target resample, step counters, sensor noise.
+
+        Semantics equal the portable step (same RNG splits, same select
+        lattice; tests/test_step_pallas.py), with ONE documented deviation:
+        `recent_s`/`recent_u` keep their pre-reset values for rows that
+        auto-reset this step (the post-reset state exists only in VMEM).
+        Nothing on the control-task path consumes recent_*; combat (the
+        consumer, for rollback) uses its own step."""
+        from ..ops.step_pallas import env_step_pallas
+        from ..ops.task_pallas import COND_NAMES
         from .tasks.base import add_sensor_noise
 
-        mstate, xdot = self.model.update_with_xdot(state.model, action)
-        step_count = state.step_count + 1
-        obs_nl, done, bad, reward, counts = task_step_pallas(
-            self.task.kernel_variant, self.config, mstate.s, mstate.u,
-            xdot, self.task.kernel_targets(state.task), step_count)
-        key, k_obs = jax.random.split(state.key)
-        obs = add_sensor_noise(obs_nl, k_obs, self.config.noise_scale)
+        cfg = self.config
+        mask = state.is_done | state.bad_done | state.exceed_time_limit
+        key, k_model, k_task = jax.random.split(state.key, 3)
+        k_alt, k_vt = jax.random.split(k_model)
+        n = self.n
+        alt_init = jax.random.uniform(k_alt, (n,), minval=cfg.min_altitude,
+                                      maxval=cfg.max_altitude)
+        vt_init = jax.random.uniform(k_vt, (n,), minval=cfg.min_vt,
+                                     maxval=cfg.max_vt)
+        tstate = self.task.reset_from_init(state.task, mask, alt_init,
+                                           vt_init, k_task)
+        step_count = jnp.where(mask, 0, state.step_count) + 1
+
+        a = action
+        if a.shape[1] < 4:  # narrow action spaces (e.g. tracking's 3)
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
+        s_new, u_new, obs_nl, done, bad, reward, counts = env_step_pallas(
+            self.task.kernel_variant, cfg, self.model.weights,
+            state.model.s, state.model.u, a[:, :4], mask, alt_init, vt_init,
+            self.task.kernel_targets(tstate), step_count)
+
+        key, k_obs = jax.random.split(key)
+        obs = add_sensor_noise(obs_nl, k_obs, cfg.noise_scale)
         exceed = jnp.zeros_like(done)
         info = {f"termination/{nm}": counts[i].astype(jnp.int32)
                 for i, nm in enumerate(COND_NAMES[self.task.kernel_variant])}
+        mstate = state.model.replace(s=s_new, u=u_new)
         new_state = EnvState(
-            model=mstate, task=state.task, step_count=step_count,
+            model=mstate, task=tstate, step_count=step_count,
             is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,
         )
         out = StepOutput(obs=obs, reward=reward, done=done, bad_done=bad,

@@ -48,6 +48,23 @@ class ControlTask(BaseTask):
             target_vt=jnp.where(mask, vt + d_vt, tstate.target_vt),
         )
 
+    def reset_from_init(self, tstate: ControlTaskState, mask: jnp.ndarray,
+                        alt_init: jnp.ndarray, vt_init: jnp.ndarray,
+                        key: jax.Array) -> ControlTaskState:
+        """Fused-step-kernel resample (see HeadingTask.reset_from_init):
+        reset rows restart from pitch=0, heading=0, vt=vt_init."""
+        cfg = self.config
+        n = alt_init.shape[0]
+        kp, kh, kv = jax.random.split(key, 3)
+        d_pitch = (jax.random.uniform(kp, (n,)) - 0.5) * 2.0 * cfg.max_pitch_increment
+        d_hdg = (jax.random.uniform(kh, (n,)) - 0.5) * 2.0 * cfg.max_heading_increment
+        d_vt = (jax.random.uniform(kv, (n,)) - 0.5) * 2.0 * cfg.max_velocities_u_increment
+        return ControlTaskState(
+            target_pitch=jnp.where(mask, wrap_PI(d_pitch), tstate.target_pitch),
+            target_heading=jnp.where(mask, wrap_PI(d_hdg), tstate.target_heading),
+            target_vt=jnp.where(mask, vt_init + d_vt, tstate.target_vt),
+        )
+
     def get_obs(self, model, mstate, tstate: ControlTaskState, key: jax.Array):
         _, pitch, heading = model.get_posture(mstate)
         vt = model.get_vt(mstate)

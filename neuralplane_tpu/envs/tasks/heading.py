@@ -61,6 +61,33 @@ class HeadingTask(BaseTask):
             target_vt=jnp.where(mask, vt + d_vt, tstate.target_vt),
         )
 
+    def reset_from_init(self, tstate: HeadingTaskState, mask: jnp.ndarray,
+                        alt_init: jnp.ndarray, vt_init: jnp.ndarray,
+                        key: jax.Array) -> HeadingTaskState:
+        """Target resample for the fused whole-step kernel path
+        (ops/step_pallas.py): reset rows always restart from the init state
+        (altitude=alt_init, vt=vt_init, heading=0 - models/f16.py:reset),
+        so the post-reset targets follow from the init draws alone without
+        materializing the post-reset state. RNG draws match reset() exactly."""
+        cfg = self.config
+        n = alt_init.shape[0]
+        if cfg.heading_random_increments:
+            kh, ka, kv = jax.random.split(key, 3)
+            d_hdg = (jax.random.uniform(kh, (n,)) - 0.5) * 2.0 * cfg.max_heading_increment
+            d_alt = (jax.random.uniform(ka, (n,)) - 0.5) * 2.0 * cfg.max_altitude_increment
+            d_vt = (jax.random.uniform(kv, (n,)) - 0.5) * 2.0 * cfg.max_velocities_u_increment
+        else:
+            d_hdg = 2.0 * jnp.pi / 3.0
+            d_alt = 1000.0
+            d_vt = 0.0
+        return HeadingTaskState(
+            target_altitude=jnp.where(mask, alt_init + d_alt,
+                                      tstate.target_altitude),
+            target_heading=jnp.where(mask, wrap_PI(jnp.zeros(n) + d_hdg),
+                                     tstate.target_heading),
+            target_vt=jnp.where(mask, vt_init + d_vt, tstate.target_vt),
+        )
+
     def get_obs(self, model, mstate, tstate: HeadingTaskState, key: jax.Array):
         _, _, altitude = model.get_position(mstate)
         _, _, heading = model.get_posture(mstate)

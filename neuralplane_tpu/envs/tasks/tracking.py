@@ -51,6 +51,28 @@ class TrackingTask(BaseTask):
             target_altitude=jnp.where(mask, altitude + d_a, tstate.target_altitude),
         )
 
+    def reset_from_init(self, tstate: TrackingTaskState, mask: jnp.ndarray,
+                        alt_init: jnp.ndarray, vt_init: jnp.ndarray,
+                        key: jax.Array) -> TrackingTaskState:
+        """Fused-step-kernel resample (see HeadingTask.reset_from_init):
+        reset rows restart from npos=epos=0, altitude=alt_init."""
+        cfg = self.config
+        n = alt_init.shape[0]
+        kd, k1, k2 = jax.random.split(key, 3)
+        distance = (jax.random.uniform(kd, (n,)) * (cfg.max_distance - cfg.min_distance)
+                    + cfg.min_distance)
+        theta1 = jax.random.uniform(k1, (n,)) * jnp.pi / 3.0 - jnp.pi / 6.0
+        theta2 = jax.random.uniform(k2, (n,)) * jnp.pi / 3.0 - jnp.pi / 6.0
+        d_n = distance * jnp.cos(theta1) * jnp.cos(theta2)
+        d_e = distance * jnp.cos(theta1) * jnp.sin(theta2)
+        d_a = distance * jnp.sin(theta1)
+        return TrackingTaskState(
+            target_npos=jnp.where(mask, d_n, tstate.target_npos),
+            target_epos=jnp.where(mask, d_e, tstate.target_epos),
+            target_altitude=jnp.where(mask, alt_init + d_a,
+                                      tstate.target_altitude),
+        )
+
     def get_obs(self, model, mstate, tstate: TrackingTaskState, key: jax.Array):
         npos, epos, altitude = model.get_position(mstate)
         head = jnp.stack([

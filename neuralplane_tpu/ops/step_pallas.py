@@ -1,0 +1,186 @@
+"""Whole-env-step Pallas kernel: masked reset + actuator lag + nlplant +
+Euler + the full task layer in ONE pass over VMEM-resident tiles.
+
+After the nlplant and task kernels, the remaining XLA glue at n=10^6 was
+still ~1 ms of full-batch HBM round-trips: the masked reset select on
+[n,12]/[n,5] (~0.3 ms), the actuator lag, the Euler add (~0.25 ms), and the
+xdot [16,n] write + re-read between the two kernels (~0.15 ms). This kernel
+absorbs all of it: per grid tile it
+
+  1. reset-selects the state/control rows for rows flagged done last step
+     (init values: alt/vt from pre-drawn uniforms, everything else zero,
+     thrust init_T - models/f16.py:reset, reference F16_model.py:33-45),
+  2. applies the actuator first-order lag u <- 0.9u + 0.1*clip(a)*scale
+     (F16_model.py:51-62),
+  3. evaluates the 43 aero surrogates + force/moment build-up
+     (ops/aero_pallas.aero_coeff_rows + ops/dynamics.nlplant_core),
+  4. integrates s' = s + dt*xdot (Euler, the reference default),
+  5. runs the task layer (22-slot obs, 6 terminations, reward, per-tile
+     counts - ops/task_pallas.task_rows) at (s', u', xdot),
+
+and writes only the final products; xdot never touches HBM.
+
+The target resample that logically happens between (1) and (5) stays in
+XLA because it only needs the INIT values of reset rows (reset rows always
+restart from alt=alt_init, vt=vt_init, heading/pitch/npos/epos=0), so each
+task's `reset_from_init` computes post-reset targets from the same uniform
+draws without materializing the post-reset state
+(envs/tasks/{heading,control,tracking}.py).
+
+Semantics equal the portable step path by construction; pinned by
+tests/test_step_pallas.py (interpret mode, grouped weights on both sides).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .aero import IDX
+from .aero_pallas import (G, GroupedAeroWeightsT, N_S, N_U, N_XD, OUT, TILE,
+                          WIDE, aero_coeff_rows)
+from .dynamics import R2D, nlplant_core
+from .task_pallas import (N_CND, N_OBS, task_consts, task_rows,
+                          write_task_outputs)
+
+# actuator scales (models/f16.py, reference F16_model.py:53-56)
+THRUST_SCALE = 0.225 * 76300.0 / 0.3048
+SURFACE_SCALE = 45.0
+N_ACT = 4
+N_UO = 8  # 5 control rows, sublane-padded
+
+
+def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
+                 b4_ref,
+                 s_out, u_out, obs_ref, done_ref, bad_ref, rew_ref, cnt_ref,
+                 h3_scratch,
+                 *, variant: str, consts: dict, dt: float, init_T: float,
+                 n: int, tile: int, hidden_bf16: bool):
+    m = msk_ref[...] != 0.0
+
+    # 1. masked reset select (rows restart from the init state)
+    s_rows = []
+    for i in range(N_S):
+        cur = s_ref[i, :]
+        if i == 2:
+            s_rows.append(jnp.where(m, rnd_ref[0, :], cur))
+        elif i == 6:
+            s_rows.append(jnp.where(m, rnd_ref[1, :], cur))
+        else:
+            s_rows.append(jnp.where(m, 0.0, cur))
+
+    # 2. actuator first-order lag on the post-reset control
+    u_prev = [jnp.where(m, init_T, u_ref[0, :])] \
+        + [jnp.where(m, 0.0, u_ref[i, :]) for i in (1, 2, 3)]
+    scales = (THRUST_SCALE, SURFACE_SCALE, SURFACE_SCALE, SURFACE_SCALE)
+    u_rows = [0.9 * u_prev[i]
+              + 0.1 * jnp.clip(act_ref[i, :], -1.0, 1.0) * scales[i]
+              for i in range(N_ACT)]
+    u_rows.append(jnp.zeros_like(u_rows[0]))  # lef pinned to 0
+
+    # 3. state derivative at (post-reset s, lagged u)
+    xt = jnp.stack([s_rows[7] * R2D, s_rows[8] * R2D,
+                    u_rows[1]]).astype(jnp.bfloat16)
+    c = aero_coeff_rows(xt, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        w4_ref, b4_ref, h3_scratch, hidden_bf16)
+    xd = nlplant_core(tuple(s_rows), tuple(u_rows), lambda nm: c[IDX[nm]])
+
+    # 4. Euler integration
+    s_new = [s_rows[i] + dt * xd[i] for i in range(N_S)]
+
+    # 5. task layer at the post-update state with the step-start xdot
+    tr = tuple(tgt_ref[i, :] for i in range(3))
+    obs_rows, done, bad, reward, conds = task_rows(
+        variant, consts, s_new, u_rows, xd, tr, sc_ref[...])
+
+    zeros = jnp.zeros_like(s_new[0])
+    s_out[:] = jnp.stack(s_new + [zeros] * (N_XD - N_S))
+    u_out[:] = jnp.stack(u_rows + [zeros] * (N_UO - N_U))
+    write_task_outputs(obs_rows, done, bad, reward, conds, n, tile,
+                       obs_ref, done_ref, bad_ref, rew_ref, cnt_ref)
+
+
+def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
+                    s: jnp.ndarray, u: jnp.ndarray, action4: jnp.ndarray,
+                    reset_mask: jnp.ndarray, alt_init: jnp.ndarray,
+                    vt_init: jnp.ndarray, targets: Tuple,
+                    step_count: jnp.ndarray, tile: int | None = None,
+                    hidden_bf16: bool = True):
+    """Fused env step. Inputs are PRE-reset state/control, this step's
+    action ([n,4], unclipped), the done mask from last step, pre-drawn init
+    uniforms, POST-resample targets, and the post-reset step_count (already
+    `where(mask, 0, sc) + 1`). Returns (s' [n,12], u' [n,5], obs [n,22]
+    noiseless, done bool[n], bad bool[n], reward f32[n], counts f32[6])."""
+    import functools
+
+    n = s.shape[0]
+    if tile is None:
+        tile = TILE  # module global, so tests can monkeypatch it
+    tile = min(tile, max(8, n))
+    grid = -(-n // tile)
+
+    kernel = functools.partial(
+        _step_kernel, variant=variant, consts=task_consts(cfg),
+        dt=float(cfg.dt), init_T=float(cfg.init_state.init_T), n=n,
+        tile=tile, hidden_bf16=hidden_bf16)
+
+    row = lambda i: (0, i)
+    vec = lambda i: (i,)
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    s_t, u_t, act_t = s.T, u.T, action4.T
+    rnd = jnp.stack([alt_init, vt_init])
+    tgt = jnp.stack(targets)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((N_S, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_U, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ACT, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, 3), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT, G * WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_XD, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_UO, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_OBS, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_CND, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_XD, n), jnp.float32),
+            jax.ShapeDtypeStruct((N_UO, n), jnp.float32),
+            jax.ShapeDtypeStruct((N_OBS, n), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((N_CND, grid * 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
+    )(s_t, u_t, act_t, reset_mask.astype(jnp.float32), rnd, tgt,
+      step_count.astype(jnp.int32), *gw_t)
+
+    s_new_t, u_new_t, obs_t, done_f, bad_f, reward, counts = outs
+    # lane 0 of each tile's replicated count block (see task_pallas.py note)
+    tile_counts = counts.reshape(N_CND, grid, 128)[:6, :, 0]
+    return (s_new_t[:N_S].T, u_new_t[:N_U].T, obs_t[:22].T,
+            done_f > 0.5, bad_f > 0.5, reward, tile_counts.sum(axis=1))

@@ -71,27 +71,5 @@ def test_fused_task_layer_matches_xla(interpret_pallas, scenario):
         assert int(counts[i]) == int(info_ref[f"termination/{nm}"]), nm
 
 
-def test_fused_step_full_equivalence(interpret_pallas):
-    """Whole-step check: _step_fused vs portable step with identical inputs
-    (stacked aero for both so the dynamics are bit-identical)."""
-    from neuralplane_tpu.ops.task_pallas import task_step_pallas  # noqa: F401
-
-    n = 40
-    env = ControlEnv(num_envs=n, config="heading", model="F16",
-                     aero_backend="stacked")
-    state, _ = env.reset(jax.random.PRNGKey(0))
-    a = jnp.tile(jnp.array([[0.9, 0.05, -0.05, 0.0]], jnp.float32), (n, 1))
-    state_copy = jax.tree.map(jnp.array, state)  # env.step donates state
-    s1, o1 = env.step(state, a)
-
-    env._task_kernel = True  # force the fused path (stacked weights feed
-    # nlplant in XLA; only the task layer runs through the kernel)
-    s2, o2 = env._step_fused(env._masked_reset(state_copy), a)
-    np.testing.assert_allclose(np.asarray(o1.obs), np.asarray(o2.obs),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(o1.reward), np.asarray(o2.reward),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(o1.done), np.asarray(o2.done))
-    # jit-fused vs eager compilation reassociates float ops -> ~1e-6 drift
-    np.testing.assert_allclose(np.asarray(s1.model.s),
-                               np.asarray(s2.model.s), rtol=1e-5, atol=1e-5)
+# The whole-step fused path (reset+lag+dynamics+Euler+task in one kernel)
+# is pinned by tests/test_step_pallas.py.
