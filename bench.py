@@ -24,6 +24,13 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--sweep", action="store_true",
                     help="also print the 10^0..10^6 sweep to stderr")
+    ap.add_argument("--aero", default="auto",
+                    choices=["auto", "pallas", "stacked", "distilled"],
+                    help="aero backend; 'auto' = distilled on TPU when its"
+                         " trained npz ships (fidelity-gated at xdot"
+                         " R^2>=0.999 vs the 43-net ensemble,"
+                         " surrogates/distill.py), else the 43-net 'pallas'"
+                         " parity kernel")
     args = ap.parse_args()
 
     from neuralplane_tpu.utils.cache import enable_persistent_cache
@@ -34,12 +41,14 @@ def main() -> None:
         for row in measure_sweep(steps=min(args.steps, 500)):
             print(json.dumps(row), file=sys.stderr)
 
-    res = measure_env_step(args.n, steps=args.steps)
+    res = measure_env_step(args.n, steps=args.steps,
+                           aero_backend=args.aero)
     print(json.dumps({
         "metric": "f16_heading_env_step_1M_agents",
         "value": round(res["s_per_step"], 6),
         "unit": "s/step",
         "vs_baseline": round(BASELINE_S_PER_STEP_1M / res["s_per_step"], 2),
+        "aero_backend": args.aero,
     }))
 
 

@@ -59,7 +59,8 @@ class Env:
         # (tests/test_task_pallas.py); disable via config.
         self._task_kernel = (
             model == "F16"
-            and type(weights).__name__ == "GroupedAeroWeightsT"
+            and type(weights).__name__ in ("GroupedAeroWeightsT",
+                                           "DistilledAeroWeightsT")
             and getattr(self.task, "kernel_variant", None) is not None
             and getattr(self.config, "fused_task_kernel", True)
             and self.config.reuse_step_xdot)
@@ -180,13 +181,26 @@ class Env:
         if a.shape[1] < 4:  # narrow action spaces (e.g. tracking's 3)
             a = jnp.concatenate(
                 [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
+        # sensor noise: in-kernel via the TPU hardware PRNG when enabled
+        # (saves a full [n,22] XLA pass; same N(0, noise_scale) distribution,
+        # different stream - see EnvConfig.kernel_obs_noise). The key splits
+        # are identical on both paths so everything else stays in lockstep.
+        key, k_obs = jax.random.split(key)
+        kernel_noise = (cfg.noise_scale > 0
+                        and getattr(cfg, "kernel_obs_noise", False))
+        seed = None
+        if kernel_noise:
+            seed = jax.random.randint(k_obs, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
         s_new, u_new, obs_nl, done, bad, reward, counts = env_step_pallas(
             self.task.kernel_variant, cfg, self.model.weights,
             state.model.s, state.model.u, a[:, :4], mask, alt_init, vt_init,
-            self.task.kernel_targets(tstate), step_count)
+            self.task.kernel_targets(tstate), step_count,
+            noise_seed=seed,
+            noise_scale=float(cfg.noise_scale) if kernel_noise else 0.0)
 
-        key, k_obs = jax.random.split(key)
-        obs = add_sensor_noise(obs_nl, k_obs, cfg.noise_scale)
+        obs = (obs_nl if kernel_noise
+               else add_sensor_noise(obs_nl, k_obs, cfg.noise_scale))
         exceed = jnp.zeros_like(done)
         info = {f"termination/{nm}": counts[i].astype(jnp.int32)
                 for i, nm in enumerate(COND_NAMES[self.task.kernel_variant])}

@@ -19,9 +19,11 @@ from .envs import ControlEnv
 
 
 def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
-                     model: str = "F16", double_buffer: bool = False) -> Dict:
+                     model: str = "F16", double_buffer: bool = False,
+                     aero_backend: str = "auto") -> Dict:
     """Wall-time `steps` env steps at batch size n. Returns timing dict."""
-    env = ControlEnv(num_envs=n, config=scenario, model=model)
+    env = ControlEnv(num_envs=n, config=scenario, model=model,
+                     aero_backend=aero_backend)
     state, _ = env.reset(jax.random.PRNGKey(0))
     # near-trim action: full throttle command, neutral surfaces (the reference
     # passes raw INIT_U controls which clamp to ~[1, 0, 0, 0]).

@@ -70,18 +70,31 @@ def load_aero_weights(path: str = _DATA_PATH, dtype=jnp.float32) -> AeroWeights:
 
 def select_aero_weights(w: "AeroWeights", backend: str = "auto"):
     """Pick the aero-query backend: 'stacked' (XLA einsums, any platform,
-    autodiff-able) or 'pallas' (fused VMEM kernel, TPU only - returns
-    GroupedAeroWeights, which aero_coeffs dispatches on). 'auto' selects
-    pallas on TPU backends. Override with NEURALPLANE_AERO_BACKEND."""
+    autodiff-able), 'pallas' (fused 43-net VMEM kernel, TPU only - returns
+    GroupedAeroWeights, which aero_coeffs dispatches on), or 'distilled'
+    (consolidated single-trunk surrogate, TPU only; 1.8x faster whole-step,
+    fidelity-gated at xdot R^2 >= 0.999 vs the 43-net ensemble - see
+    surrogates/distill.py). 'auto' selects distilled on TPU when the
+    trained npz ships, else pallas; stacked elsewhere. Override with
+    NEURALPLANE_AERO_BACKEND."""
     import jax
 
     backend = os.environ.get("NEURALPLANE_AERO_BACKEND", backend)
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        backend = "pallas" if on_tpu else "stacked"
+        if on_tpu:
+            from .aero_pallas import distilled_npz_present
+            backend = "distilled" if distilled_npz_present() else "pallas"
+        else:
+            backend = "stacked"
     if backend == "pallas":
         from .aero_pallas import pack_grouped_t
         return pack_grouped_t(w)
+    if backend == "distilled":
+        # consolidated single-trunk surrogate (surrogates/distill.py) -
+        # xdot-fidelity-gated vs the 43-net ensemble; ~12x less MXU work
+        from .aero_pallas import load_distilled_t
+        return load_distilled_t()
     return w
 
 
@@ -133,4 +146,15 @@ def aero_coeffs_t(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
     if tname == "GroupedAeroWeights":
         from .aero_pallas import aero_coeffs_pallas_t
         return aero_coeffs_pallas_t(w, alpha_deg, beta_deg, el_deg)
+    if tname == "DistilledAeroWeightsT":
+        # XLA eval of the consolidated trunk (portable; exact same bf16
+        # arithmetic as the kernel path)
+        from ..surrogates.distill import DistilledParams, quantized_coeffs
+        p = DistilledParams(W1=w.W1.astype(jnp.float32), b1=w.b1,
+                            W2=w.W2.astype(jnp.float32), b2=w.b2,
+                            W3=w.W3[:K].astype(jnp.float32), b3=w.b3[:K])
+        import numpy as np
+        return quantized_coeffs(p, np.asarray(w.out_mean[:K]),
+                                np.asarray(w.out_std[:K]),
+                                alpha_deg, beta_deg, el_deg)
     return aero_coeffs(w, alpha_deg, beta_deg, el_deg).T

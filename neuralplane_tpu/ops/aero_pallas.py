@@ -45,7 +45,9 @@ S = 6                      # nets per group
 G = -(-K // S)             # 8 groups (43 padded to 48 net slots)
 WIDE = 128                 # lane-padded group width (6 x 20 = 120 -> 128)
 OUT = 64                   # lane-padded output width (48 -> 64)
-TILE = 2048                # rows per grid step
+TILE = 2048                # rows per grid step (grouped 43-net kernels)
+DISTILLED_TILE = 8192      # rows per grid step, distilled backend (its VMEM
+#                            footprint is ~5x smaller; TPU-swept optimum)
 
 
 class GroupedAeroWeights(NamedTuple):
@@ -445,4 +447,174 @@ def nlplant_pallas_ft(gw_t: GroupedAeroWeightsT, s: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((N_XD, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
     )(s_t, u_t, *gw_t)
+    return out[:N_S].T
+
+
+# --- distilled consolidated surrogate (surrogates/distill.py) ---
+#
+# One shared-trunk [3 -> H -> H -> 43] net replaces the 43-net ensemble at
+# R^2 >= gate vs that ensemble (see surrogates/distill.py docstring for the
+# fidelity argument). ~50 kFLOP/row at H=128 vs ~600 kFLOP/row for the
+# block-diagonal grouped kernel - the MXU work drops ~12x. The net runs in
+# z-scored output space; the raw coefficients come from one [OUT,T] FMA
+# with the per-coefficient out_std/out_mean, so small-magnitude
+# coefficients (e.g. delta_Cnbeta ~ 1e-3) are not drowned by bf16 rounding
+# of the SHARED hidden activations.
+
+_DISTILLED_PATH = None  # resolved lazily next to data/f16_aero.npz
+
+
+class DistilledAeroWeightsT(NamedTuple):
+    """Feature-major distilled-trunk weights (left-multiply convention)."""
+    W1: jnp.ndarray   # [H, F]   bf16
+    b1: jnp.ndarray   # [H]      f32
+    W2: jnp.ndarray   # [H, H]   bf16
+    b2: jnp.ndarray   # [H]      f32
+    W3: jnp.ndarray   # [OUT, H+F] bf16 (z-space, rows in AERO_NAMES order;
+    #                   reads [hidden ; hinge features] - the skip part)
+    b3: jnp.ndarray   # [OUT]    f32
+    out_mean: jnp.ndarray  # [OUT] f32
+    out_std: jnp.ndarray   # [OUT] f32
+
+
+@functools.lru_cache(maxsize=2)
+def _load_distilled_np(path: str):
+    with np.load(path) as z:
+        names = [str(n) for n in z["names"]]
+        from .aero import AERO_NAMES
+        from ..surrogates import distill
+        assert tuple(names) == AERO_NAMES, \
+            "f16_aero_distilled.npz order mismatch - re-run scripts/distill_aero.py"
+        # the kernel rebuilds the hinge features from the module constants -
+        # pin that they match what the net was trained with
+        for key, ref in (("alpha_knots", distill.ALPHA_KNOTS),
+                         ("beta_knots", distill.BETA_KNOTS),
+                         ("el_knots", distill.EL_KNOTS),
+                         ("in_scale", distill.IN_SCALE),
+                         ("in_mean", distill.IN_MEAN)):
+            assert np.allclose(z[key], ref), \
+                f"f16_aero_distilled.npz {key} mismatch - re-run distillation"
+        return {k: z[k] for k in ("W1", "b1", "W2", "b2", "W3", "b3",
+                                  "out_mean", "out_std")}
+
+
+def _default_distilled_path() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "f16_aero_distilled.npz")
+
+
+def distilled_npz_present() -> bool:
+    import os
+    return os.path.exists(_default_distilled_path())
+
+
+def load_distilled_t(path: str | None = None) -> DistilledAeroWeightsT:
+    if path is None:
+        path = _default_distilled_path()
+    r = _load_distilled_np(path)
+    bf = jnp.bfloat16
+    return DistilledAeroWeightsT(
+        W1=jnp.asarray(r["W1"], bf), b1=jnp.asarray(r["b1"]),
+        W2=jnp.asarray(r["W2"], bf), b2=jnp.asarray(r["b2"]),
+        W3=jnp.asarray(r["W3"], bf), b3=jnp.asarray(r["b3"]),
+        out_mean=jnp.asarray(r["out_mean"]), out_std=jnp.asarray(r["out_std"]))
+
+
+def distilled_feature_rows(alpha_deg, beta_deg, el):
+    """In-kernel hinge featurization: three [T] rows -> [F, T] bf16.
+
+    Must mirror surrogates/distill.featurize exactly (the loader asserts
+    the knot constants match the npz). All ops are [T] lane-vector VPU
+    work with baked scalar knots - a few dozen relu/scale ops."""
+    from ..surrogates.distill import (ALPHA_KNOTS, BETA_KNOTS, EL_KNOTS,
+                                      IN_MEAN, IN_SCALE)
+    rows = [(alpha_deg - float(IN_MEAN[0])) / float(IN_SCALE[0]),
+            beta_deg / float(IN_SCALE[1]),
+            el / float(IN_SCALE[2])]
+    rows += [jnp.maximum(alpha_deg - float(k), 0.0) / float(IN_SCALE[0])
+             for k in ALPHA_KNOTS]
+    rows += [jnp.maximum(beta_deg - float(k), 0.0) / float(IN_SCALE[1])
+             for k in BETA_KNOTS]
+    rows += [jnp.maximum(el - float(k), 0.0) / float(IN_SCALE[2])
+             for k in EL_KNOTS]
+    return jnp.stack(rows).astype(jnp.bfloat16)
+
+
+def distilled_coeff_rows(ft, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                         mu_ref, sd_ref, hidden_bf16: bool = True):
+    """In-kernel distilled sweep: ft [F, T] bf16 features -> c [OUT, T] f32
+    raw coefficients (z-space net + per-row un-scaling FMA)."""
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    if hidden_bf16:
+        h = jnp.maximum(jnp.dot(w1_ref[:], ft, preferred_element_type=f32)
+                        .astype(bf) + b1_ref[:][:, None].astype(bf), 0.0)
+        h = jnp.maximum(jnp.dot(w2_ref[:], h, preferred_element_type=f32)
+                        .astype(bf) + b2_ref[:][:, None].astype(bf), 0.0)
+    else:
+        h = jnp.maximum(jnp.dot(w1_ref[:], ft, preferred_element_type=f32)
+                        + b1_ref[:][:, None], 0.0)
+        h = jnp.maximum(jnp.dot(w2_ref[:], h.astype(bf),
+                                preferred_element_type=f32)
+                        + b2_ref[:][:, None], 0.0)
+        h = h.astype(bf)
+    hx = jnp.concatenate([h, ft], axis=0)  # [H+F, T]: skip connection
+    z = jnp.dot(w3_ref[:], hx, preferred_element_type=f32) + b3_ref[:][:, None]
+    return z * sd_ref[:][:, None] + mu_ref[:][:, None]
+
+
+def distilled_weight_specs(H: int, F: int):
+    """BlockSpecs for the 8 DistilledAeroWeightsT leaves (VMEM-resident)."""
+    const = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    return [
+        pl.BlockSpec((H, F), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H,), vec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H,), vec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT, H + F), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT,), vec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT,), vec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((OUT,), vec, memory_space=pltpu.VMEM),
+    ]
+
+
+def _xdot_kernel_distilled(s_ref, u_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                           w3_ref, b3_ref, mu_ref, sd_ref, out_ref,
+                           *, hidden_bf16: bool = True):
+    from .dynamics import R2D, nlplant_core
+    ft = distilled_feature_rows(s_ref[7, :] * R2D, s_ref[8, :] * R2D,
+                                u_ref[1, :])
+    c = distilled_coeff_rows(ft, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                             b3_ref, mu_ref, sd_ref, hidden_bf16)
+    sv = tuple(s_ref[i, :] for i in range(N_S))
+    uv = tuple(u_ref[i, :] for i in range(N_U))
+    xd = nlplant_core(sv, uv, lambda name: c[IDX[name]])
+    zeros = jnp.zeros_like(xd[0])
+    out_ref[:] = jnp.stack(xd + [zeros] * (N_XD - len(xd)))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "hidden_bf16"))
+def nlplant_pallas_distilled(dw: DistilledAeroWeightsT, s: jnp.ndarray,
+                             u: jnp.ndarray, tile: int | None = None,
+                             hidden_bf16: bool = True) -> jnp.ndarray:
+    """Distilled-backend twin of nlplant_pallas_ft."""
+    n = s.shape[0]
+    tile = min(tile or DISTILLED_TILE, max(8, n))
+    H, F = dw.W1.shape
+    out = pl.pallas_call(
+        functools.partial(_xdot_kernel_distilled, hidden_bf16=hidden_bf16),
+        grid=(-(-n // tile),),
+        in_specs=[
+            pl.BlockSpec((N_S, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_U, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *distilled_weight_specs(H, F),
+        ],
+        out_specs=pl.BlockSpec((N_XD, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_XD, n), jnp.float32),
+    )(s.T, u.T, *dw)
     return out[:N_S].T

@@ -127,6 +127,9 @@ def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     if type(w).__name__ == "GroupedAeroWeightsT":
         from .aero_pallas import nlplant_pallas_ft
         return nlplant_pallas_ft(w, s, u)
+    if type(w).__name__ == "DistilledAeroWeightsT":
+        from .aero_pallas import nlplant_pallas_distilled
+        return nlplant_pallas_distilled(w, s, u)
     alpha = s[:, 7] * R2D
     beta = s[:, 8] * R2D
     c = aero_coeffs_t(w, alpha, beta, u[:, 1])

@@ -32,14 +32,16 @@ tests/test_step_pallas.py (interpret mode, grouped weights on both sides).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .aero import IDX
+from . import aero_pallas
 from .aero_pallas import (G, GroupedAeroWeightsT, N_S, N_U, N_XD, OUT, TILE,
                           WIDE, aero_coeff_rows)
 from .dynamics import R2D, nlplant_core
@@ -53,13 +55,39 @@ N_ACT = 4
 N_UO = 8  # 5 control rows, sublane-padded
 
 
+def _obs_noise_rows(seed_ref, tile: int, noise_scale: float):
+    """In-kernel sensor noise: hardware PRNG bits -> Box-Muller normals.
+
+    24 uniform rows pair into 24 normal rows (12 radii x cos/sin); the
+    first 22 perturb the observation. Distribution matches the portable
+    path's jax.random.normal * noise_scale (tasks/base.add_sensor_noise);
+    the stream differs (documented in EnvConfig.kernel_obs_noise)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((N_OBS, tile)), jnp.uint32)
+    # uniform [1,2) via mantissa fill, then shift to [0,1)
+    u = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000),
+                      jnp.float32) - 1.0
+    half = N_OBS // 2
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[:half], 1e-7)))
+    th = (2.0 * np.pi) * u[half:]
+    return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)],
+                           axis=0) * noise_scale
+
+
 def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
-                 b4_ref,
-                 s_out, u_out, obs_ref, done_ref, bad_ref, rew_ref, cnt_ref,
-                 h3_scratch,
-                 *, variant: str, consts: dict, dt: float, init_T: float,
-                 n: int, tile: int, hidden_bf16: bool):
+                 *rest,
+                 variant: str, consts: dict, dt: float, init_T: float,
+                 n: int, tile: int, hidden_bf16: bool, distilled: bool,
+                 noise_scale: float):
+    # rest = [seed (SMEM, if noise_scale > 0)] + weight refs (8) +
+    #        7 output refs (+ h3 scratch, grouped only)
+    if noise_scale > 0.0:
+        seed_ref, rest = rest[0], rest[1:]
+    w_refs = rest[:8]
+    (s_out, u_out, obs_ref, done_ref, bad_ref, rew_ref,
+     cnt_ref) = rest[8:15]
+    if not distilled:
+        h3_scratch = rest[15]
     m = msk_ref[...] != 0.0
 
     # 1. masked reset select (rows restart from the init state)
@@ -83,10 +111,15 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
     u_rows.append(jnp.zeros_like(u_rows[0]))  # lef pinned to 0
 
     # 3. state derivative at (post-reset s, lagged u)
-    xt = jnp.stack([s_rows[7] * R2D, s_rows[8] * R2D,
-                    u_rows[1]]).astype(jnp.bfloat16)
-    c = aero_coeff_rows(xt, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                        w4_ref, b4_ref, h3_scratch, hidden_bf16)
+    if distilled:
+        from .aero_pallas import distilled_coeff_rows, distilled_feature_rows
+        ft = distilled_feature_rows(s_rows[7] * R2D, s_rows[8] * R2D,
+                                    u_rows[1])
+        c = distilled_coeff_rows(ft, *w_refs, hidden_bf16)
+    else:
+        xt = jnp.stack([s_rows[7] * R2D, s_rows[8] * R2D,
+                        u_rows[1]]).astype(jnp.bfloat16)
+        c = aero_coeff_rows(xt, *w_refs, h3_scratch, hidden_bf16)
     xd = nlplant_core(tuple(s_rows), tuple(u_rows), lambda nm: c[IDX[nm]])
 
     # 4. Euler integration
@@ -96,6 +129,9 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
     tr = tuple(tgt_ref[i, :] for i in range(3))
     obs_rows, done, bad, reward, conds = task_rows(
         variant, consts, s_new, u_rows, xd, tr, sc_ref[...])
+    if noise_scale > 0.0:
+        noise = _obs_noise_rows(seed_ref, tile, noise_scale)
+        obs_rows = [obs_rows[i] + noise[i] for i in range(len(obs_rows))]
 
     zeros = jnp.zeros_like(s_new[0])
     s_out[:] = jnp.stack(s_new + [zeros] * (N_XD - N_S))
@@ -109,24 +145,38 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
                     reset_mask: jnp.ndarray, alt_init: jnp.ndarray,
                     vt_init: jnp.ndarray, targets: Tuple,
                     step_count: jnp.ndarray, tile: int | None = None,
-                    hidden_bf16: bool = True):
+                    hidden_bf16: bool = True,
+                    noise_seed: Optional[jnp.ndarray] = None,
+                    noise_scale: float = 0.0):
     """Fused env step. Inputs are PRE-reset state/control, this step's
     action ([n,4], unclipped), the done mask from last step, pre-drawn init
     uniforms, POST-resample targets, and the post-reset step_count (already
-    `where(mask, 0, sc) + 1`). Returns (s' [n,12], u' [n,5], obs [n,22]
-    noiseless, done bool[n], bad bool[n], reward f32[n], counts f32[6])."""
+    `where(mask, 0, sc) + 1`). Returns (s' [n,12], u' [n,5], obs [n,22],
+    done bool[n], bad bool[n], reward f32[n], counts f32[6]).
+
+    With noise_seed (int32 [1]) + noise_scale > 0, sensor noise is drawn
+    in-kernel from the TPU hardware PRNG (_obs_noise_rows; NOT available in
+    interpret mode) and the returned obs is already noisy; otherwise obs is
+    noiseless and the caller adds XLA noise (tasks/base.add_sensor_noise)."""
     import functools
 
     n = s.shape[0]
+    kernel_noise = noise_seed is not None and noise_scale > 0.0
+    distilled = type(gw_t).__name__ == "DistilledAeroWeightsT"
     if tile is None:
-        tile = TILE  # module global, so tests can monkeypatch it
+        # module globals, so tests can monkeypatch them. The distilled
+        # backend's VMEM footprint is ~5x smaller (no [G*WIDE, tile]
+        # activation scratch), so larger tiles fit and amortize better
+        # (TPU sweep: 8192 -> 3.87 ms/step vs 4.35 at 2048; 16384 OOMs).
+        tile = aero_pallas.DISTILLED_TILE if distilled else TILE
     tile = min(tile, max(8, n))
     grid = -(-n // tile)
 
     kernel = functools.partial(
         _step_kernel, variant=variant, consts=task_consts(cfg),
         dt=float(cfg.dt), init_T=float(cfg.init_state.init_T), n=n,
-        tile=tile, hidden_bf16=hidden_bf16)
+        tile=tile, hidden_bf16=hidden_bf16, distilled=distilled,
+        noise_scale=float(noise_scale) if kernel_noise else 0.0)
 
     row = lambda i: (0, i)
     vec = lambda i: (i,)
@@ -135,6 +185,29 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     s_t, u_t, act_t = s.T, u.T, action4.T
     rnd = jnp.stack([alt_init, vt_init])
     tgt = jnp.stack(targets)
+
+    if distilled:
+        from .aero_pallas import distilled_weight_specs
+        weight_specs = distilled_weight_specs(*gw_t.W1.shape)
+        scratch_shapes = []
+    else:
+        weight_specs = [
+            pl.BlockSpec((G, WIDE, 3), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT, G * WIDE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ]
+        scratch_shapes = [pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)]
+
+    seed_specs = []
+    seed_args = ()
+    if kernel_noise:
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        seed_args = (noise_seed.astype(jnp.int32),)
 
     outs = pl.pallas_call(
         kernel,
@@ -147,14 +220,8 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             pl.BlockSpec((2, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE, 3), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE, WIDE), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, WIDE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUT, G * WIDE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+            *seed_specs,
+            *weight_specs,
         ],
         out_specs=[
             pl.BlockSpec((N_XD, tile), row, memory_space=pltpu.VMEM),
@@ -175,9 +242,9 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((N_CND, grid * 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * WIDE, tile), jnp.bfloat16)],
+        scratch_shapes=scratch_shapes,
     )(s_t, u_t, act_t, reset_mask.astype(jnp.float32), rnd, tgt,
-      step_count.astype(jnp.int32), *gw_t)
+      step_count.astype(jnp.int32), *seed_args, *gw_t)
 
     s_new_t, u_new_t, obs_t, done_f, bad_f, reward, counts = outs
     # lane 0 of each tile's replicated count block (see task_pallas.py note)

@@ -104,6 +104,13 @@ class EnvConfig:
     # (ops/task_pallas.py); semantics identical to the XLA task layer
     fused_task_kernel: bool = True
 
+    # generate the observation sensor noise inside the fused step kernel
+    # (ops/step_pallas.py) with the TPU hardware PRNG + Box-Muller instead
+    # of a jax.random.normal pass over [n, 22] in XLA. Same distribution
+    # N(0, noise_scale), different stream than the portable path - set
+    # false for bit-exact fused==portable observations
+    kernel_obs_noise: bool = True
+
     # deterministic-vs-random target resampling for the heading task
     # (the reference hardcodes fixed increments with the random path
     # commented out, `envs/tasks/heading_task.py:60-65`)

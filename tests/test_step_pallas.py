@@ -32,6 +32,10 @@ def test_fused_step_matches_portable(interpret_pallas, scenario, monkeypatch):
     env = ControlEnv(num_envs=n, config=scenario, model="F16",
                      aero_backend="pallas")
     assert env._task_kernel
+    # in-kernel obs noise needs the TPU hardware PRNG (absent in interpret
+    # mode) and is a different stream by design; both sides use XLA noise
+    import dataclasses
+    env.config = dataclasses.replace(env.config, kernel_obs_noise=False)
     env_ref = ControlEnv(num_envs=n, config=scenario, model="F16",
                          aero_backend="pallas")
     env_ref._task_kernel = False
@@ -82,6 +86,8 @@ def test_fused_step_resets_flagged_rows(interpret_pallas):
     n = 16
     env = ControlEnv(num_envs=n, config="heading", model="F16",
                      aero_backend="pallas")
+    import dataclasses
+    env.config = dataclasses.replace(env.config, kernel_obs_noise=False)
     state, _ = env.reset(jax.random.PRNGKey(0))
     state = state.replace(
         bad_done=jnp.arange(n) % 2 == 0,
