@@ -106,6 +106,12 @@ class Env:
         key, k_obs = jax.random.split(state.key)
         state = state.replace(key=key)
         obs = self.task.get_obs(self.model, state.model, state.task, k_obs)
+        if self._task_kernel:
+            # fused-step envs carry model state in the kernel's native
+            # feature-major padded layout (models/f16.py F16StateFM) so the
+            # step kernel's outputs feed the next step with zero re-layout
+            from ..models.f16 import to_fm
+            state = state.replace(model=to_fm(state.model))
         return state, obs
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -160,6 +166,7 @@ class Env:
         auto-reset this step (the post-reset state exists only in VMEM).
         Nothing on the control-task path consumes recent_*; combat (the
         consumer, for rollback) uses its own step."""
+        from ..models.f16 import F16StateFM, to_fm
         from ..ops.step_pallas import env_step_pallas
         from ..ops.task_pallas import COND_NAMES
         from .tasks.base import add_sensor_noise
@@ -192,9 +199,10 @@ class Env:
         if kernel_noise:
             seed = jax.random.randint(k_obs, (1,), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-        s_new, u_new, obs_nl, done, bad, reward, counts = env_step_pallas(
+        fm = to_fm(state.model)  # no-op when already feature-major
+        sf_new, uf_new, obs_nl, done, bad, reward, counts = env_step_pallas(
             self.task.kernel_variant, cfg, self.model.weights,
-            state.model.s, state.model.u, a[:, :4], mask, alt_init, vt_init,
+            fm.sf, fm.uf, a[:, :4], mask, alt_init, vt_init,
             self.task.kernel_targets(tstate), step_count,
             noise_seed=seed,
             noise_scale=float(cfg.noise_scale) if kernel_noise else 0.0)
@@ -204,7 +212,9 @@ class Env:
         exceed = jnp.zeros_like(done)
         info = {f"termination/{nm}": counts[i].astype(jnp.int32)
                 for i, nm in enumerate(COND_NAMES[self.task.kernel_variant])}
-        mstate = state.model.replace(s=s_new, u=u_new)
+        # recent_* is not carried in F16StateFM: any passthrough of a donated
+        # buffer costs a full copy per step (models/f16.py note)
+        mstate = F16StateFM(sf=sf_new, uf=uf_new)
         new_state = EnvState(
             model=mstate, task=tstate, step_count=step_count,
             is_done=done, bad_done=bad, exceed_time_limit=exceed, key=key,

@@ -36,6 +36,57 @@ class F16State:
     recent_u: jnp.ndarray
 
 
+# Feature-major storage rows for the fused-step path: the whole-step Pallas
+# kernel (ops/step_pallas.py) reads and writes [rows, n] tiles whose row
+# counts are sublane-padded (12 state rows -> 16, 5 control rows -> 8).
+# Keeping the env state in exactly that layout makes the kernel boundary a
+# pure buffer reuse - no [16,n]->[n,12] slice+re-layout copies per step
+# (~0.5 ms at n=10^6, measured from the jax.profiler trace).
+FM_S_ROWS = 16
+FM_U_ROWS = 8
+
+
+@struct.dataclass
+class F16StateFM:
+    """F16State stored feature-major + sublane-padded ([16,n] / [8,n]).
+
+    Drop-in for F16State everywhere the state is *read*: `s` and `u` are
+    properties returning the agent-major views (free bitcasts under jit at
+    kernel boundaries; cheap row-gathers elsewhere). `recent_*` is NOT
+    carried: nothing on the fused control-task path consumes it, and an
+    unchanged donated passthrough costs a full-buffer XLA copy per step
+    (~0.2 ms at n=10^6, measured); the properties return the current state
+    as a best-effort stand-in (combat/planning, the real consumers, run on
+    the portable F16State path)."""
+    sf: jnp.ndarray          # [16, n]; rows 0..11 = state, rest zero
+    uf: jnp.ndarray          # [8, n]; rows 0..4 = control, rest zero
+
+    @property
+    def s(self) -> jnp.ndarray:
+        return self.sf[:12].T
+
+    @property
+    def u(self) -> jnp.ndarray:
+        return self.uf[:5].T
+
+    @property
+    def recent_s(self) -> jnp.ndarray:
+        return self.s
+
+    @property
+    def recent_u(self) -> jnp.ndarray:
+        return self.u
+
+
+def to_fm(state: F16State) -> F16StateFM:
+    """Convert agent-major state to the fused-path feature-major layout."""
+    if isinstance(state, F16StateFM):
+        return state
+    pad_s = lambda a: jnp.pad(a.T, ((0, FM_S_ROWS - a.shape[1]), (0, 0)))
+    pad_u = lambda a: jnp.pad(a.T, ((0, FM_U_ROWS - a.shape[1]), (0, 0)))
+    return F16StateFM(sf=pad_s(state.s), uf=pad_u(state.u))
+
+
 class F16Model:
     """Stateless model ops; config + aero weights are trace-time constants."""
 

@@ -153,8 +153,6 @@ def aero_coeffs_t(w, alpha_deg, beta_deg, el_deg) -> jnp.ndarray:
         p = DistilledParams(W1=w.W1.astype(jnp.float32), b1=w.b1,
                             W2=w.W2.astype(jnp.float32), b2=w.b2,
                             W3=w.W3[:K].astype(jnp.float32), b3=w.b3[:K])
-        import numpy as np
-        return quantized_coeffs(p, np.asarray(w.out_mean[:K]),
-                                np.asarray(w.out_std[:K]),
+        return quantized_coeffs(p, w.out_mean[:K], w.out_std[:K],
                                 alpha_deg, beta_deg, el_deg)
     return aero_coeffs(w, alpha_deg, beta_deg, el_deg).T

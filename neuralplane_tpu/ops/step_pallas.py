@@ -74,7 +74,8 @@ def _obs_noise_rows(seed_ref, tile: int, noise_scale: float):
                            axis=0) * noise_scale
 
 
-def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
+def _step_kernel(s_ref, u_ref, act_ref, msk_ref, alt_ref, vt_ref,
+                 tg0_ref, tg1_ref, tg2_ref, sc_ref,
                  *rest,
                  variant: str, consts: dict, dt: float, init_T: float,
                  n: int, tile: int, hidden_bf16: bool, distilled: bool,
@@ -95,9 +96,9 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
     for i in range(N_S):
         cur = s_ref[i, :]
         if i == 2:
-            s_rows.append(jnp.where(m, rnd_ref[0, :], cur))
+            s_rows.append(jnp.where(m, alt_ref[...], cur))
         elif i == 6:
-            s_rows.append(jnp.where(m, rnd_ref[1, :], cur))
+            s_rows.append(jnp.where(m, vt_ref[...], cur))
         else:
             s_rows.append(jnp.where(m, 0.0, cur))
 
@@ -126,7 +127,7 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
     s_new = [s_rows[i] + dt * xd[i] for i in range(N_S)]
 
     # 5. task layer at the post-update state with the step-start xdot
-    tr = tuple(tgt_ref[i, :] for i in range(3))
+    tr = (tg0_ref[...], tg1_ref[...], tg2_ref[...])
     obs_rows, done, bad, reward, conds = task_rows(
         variant, consts, s_new, u_rows, xd, tr, sc_ref[...])
     if noise_scale > 0.0:
@@ -141,17 +142,20 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, rnd_ref, tgt_ref, sc_ref,
 
 
 def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
-                    s: jnp.ndarray, u: jnp.ndarray, action4: jnp.ndarray,
+                    sf: jnp.ndarray, uf: jnp.ndarray, action4: jnp.ndarray,
                     reset_mask: jnp.ndarray, alt_init: jnp.ndarray,
                     vt_init: jnp.ndarray, targets: Tuple,
                     step_count: jnp.ndarray, tile: int | None = None,
                     hidden_bf16: bool = True,
                     noise_seed: Optional[jnp.ndarray] = None,
                     noise_scale: float = 0.0):
-    """Fused env step. Inputs are PRE-reset state/control, this step's
-    action ([n,4], unclipped), the done mask from last step, pre-drawn init
+    """Fused env step. Inputs are the PRE-reset state/control in the
+    feature-major padded layout (sf [16,n], uf [8,n] - models/f16.py
+    F16StateFM; the kernel's native tile layout, so the previous step's
+    outputs feed back with zero re-layout work), this step's action
+    ([n,4], unclipped), the done mask from last step, pre-drawn init
     uniforms, POST-resample targets, and the post-reset step_count (already
-    `where(mask, 0, sc) + 1`). Returns (s' [n,12], u' [n,5], obs [n,22],
+    `where(mask, 0, sc) + 1`). Returns (sf' [16,n], uf' [8,n], obs [n,22],
     done bool[n], bad bool[n], reward f32[n], counts f32[6]).
 
     With noise_seed (int32 [1]) + noise_scale > 0, sensor noise is drawn
@@ -160,7 +164,7 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     noiseless and the caller adds XLA noise (tasks/base.add_sensor_noise)."""
     import functools
 
-    n = s.shape[0]
+    n = sf.shape[1]
     kernel_noise = noise_seed is not None and noise_scale > 0.0
     distilled = type(gw_t).__name__ == "DistilledAeroWeightsT"
     if tile is None:
@@ -182,9 +186,9 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     vec = lambda i: (i,)
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
-    s_t, u_t, act_t = s.T, u.T, action4.T
-    rnd = jnp.stack([alt_init, vt_init])
-    tgt = jnp.stack(targets)
+    act_t = action4.T
+    # init uniforms / targets stay separate [n] vectors: stacking them into
+    # [2,n]/[3,n] blocks cost ~0.2 ms of reshape+pad fusions per step at 10^6
 
     if distilled:
         from .aero_pallas import distilled_weight_specs
@@ -213,12 +217,15 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((N_S, tile), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_U, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_XD, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_UO, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((N_ACT, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
             *seed_specs,
             *weight_specs,
@@ -243,11 +250,12 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             jax.ShapeDtypeStruct((N_CND, grid * 128), jnp.float32),
         ],
         scratch_shapes=scratch_shapes,
-    )(s_t, u_t, act_t, reset_mask.astype(jnp.float32), rnd, tgt,
+    )(sf, uf, act_t, reset_mask.astype(jnp.float32),
+      alt_init, vt_init, targets[0], targets[1], targets[2],
       step_count.astype(jnp.int32), *seed_args, *gw_t)
 
-    s_new_t, u_new_t, obs_t, done_f, bad_f, reward, counts = outs
+    sf_new, uf_new, obs_t, done_f, bad_f, reward, counts = outs
     # lane 0 of each tile's replicated count block (see task_pallas.py note)
     tile_counts = counts.reshape(N_CND, grid, 128)[:6, :, 0]
-    return (s_new_t[:N_S].T, u_new_t[:N_U].T, obs_t[:22].T,
+    return (sf_new, uf_new, obs_t[:22].T,
             done_f > 0.5, bad_f > 0.5, reward, tile_counts.sum(axis=1))

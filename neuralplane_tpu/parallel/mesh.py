@@ -29,10 +29,11 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_batch(x, mesh: Mesh, axis_name: str = "dp"):
-    """Place an array with its leading (agent) axis sharded over the mesh."""
-    spec = P(axis_name, *([None] * (x.ndim - 1)))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+def shard_batch(x, mesh: Mesh, axis_name: str = "dp", axis: int = 0):
+    """Place an array with its agent axis (default: leading) sharded."""
+    spec = [None] * x.ndim
+    spec[axis] = axis_name
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
 def replicate(x, mesh: Mesh):
@@ -41,13 +42,17 @@ def replicate(x, mesh: Mesh):
 
 
 def shard_batch_tree(tree, ns, mesh: Mesh, axis_name: str = "dp"):
-    """Shard every leaf whose leading dim is in `ns` (int or tuple) over
-    axis_name; replicate the rest (PRNG keys, scalars)."""
+    """Shard every leaf on its first axis whose size is in `ns` (int or
+    tuple); replicate the rest (PRNG keys, scalars). Handles both
+    agent-major [n, d] leaves (axis 0) and the fused-step path's
+    feature-major [rows, n] leaves (axis 1 - models/f16.py F16StateFM)."""
     ns = (ns,) if isinstance(ns, int) else tuple(ns)
 
     def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] in ns:
-            return shard_batch(leaf, mesh, axis_name)
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            for ax, dim in enumerate(leaf.shape):
+                if dim in ns:
+                    return shard_batch(leaf, mesh, axis_name, axis=ax)
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, tree)
