@@ -156,16 +156,21 @@ class Env:
     def _step_fused(self, state: EnvState, action: jnp.ndarray
                     ) -> Tuple[EnvState, StepOutput]:
         """TPU fast path: the ENTIRE step (masked reset select, actuator
-        lag, dynamics, Euler, obs/terminations/reward) runs in one Pallas
-        kernel (ops/step_pallas.py); XLA keeps only the [n]-vector work:
-        init draws, target resample, step counters, sensor noise.
+        lag, dynamics, Euler, obs/terminations/reward - plus, when
+        kernel_reset_draws/kernel_obs_noise are on, the init uniforms,
+        target resample and sensor noise from the hardware PRNG) runs in
+        one Pallas kernel (ops/step_pallas.py); XLA keeps only [n]-vector
+        flag/step-count glue and the [24,n]->[n,22] obs transpose.
 
-        Semantics equal the portable step (same RNG splits, same select
-        lattice; tests/test_step_pallas.py), with ONE documented deviation:
-        `recent_s`/`recent_u` keep their pre-reset values for rows that
-        auto-reset this step (the post-reset state exists only in VMEM).
-        Nothing on the control-task path consumes recent_*; combat (the
-        consumer, for rollback) uses its own step."""
+        Semantics equal the portable step (same select lattice, same
+        distributions; tests/test_step_pallas.py pins bit-equality with
+        kernel_reset_draws/kernel_obs_noise off, and
+        tools/validate_kernel_draws.py / validate_kernel_noise.py validate
+        the hardware-PRNG paths on TPU), with ONE structural deviation:
+        `recent_s`/`recent_u` are not carried by the feature-major state
+        (models/f16.py F16StateFM note). Nothing on the control-task path
+        consumes recent_*; combat (the consumer, for rollback) uses its
+        own step."""
         from ..models.f16 import F16StateFM, to_fm
         from ..ops.step_pallas import env_step_pallas
         from ..ops.task_pallas import COND_NAMES
@@ -174,14 +179,27 @@ class Env:
         cfg = self.config
         mask = state.is_done | state.bad_done | state.exceed_time_limit
         key, k_model, k_task = jax.random.split(state.key, 3)
-        k_alt, k_vt = jax.random.split(k_model)
         n = self.n
-        alt_init = jax.random.uniform(k_alt, (n,), minval=cfg.min_altitude,
-                                      maxval=cfg.max_altitude)
-        vt_init = jax.random.uniform(k_vt, (n,), minval=cfg.min_vt,
-                                     maxval=cfg.max_vt)
-        tstate = self.task.reset_from_init(state.task, mask, alt_init,
-                                           vt_init, k_task)
+        kernel_noise = (cfg.noise_scale > 0
+                        and getattr(cfg, "kernel_obs_noise", False))
+        kernel_draws = bool(getattr(cfg, "kernel_reset_draws", False))
+        # key splits are identical on every path so streams stay in lockstep
+        key, k_obs = jax.random.split(key)
+        if kernel_draws:
+            # init uniforms + target resample drawn in-kernel from the TPU
+            # hardware PRNG (EnvConfig.kernel_reset_draws); pass the
+            # PRE-resample targets, take the resampled ones back
+            alt_init = vt_init = None
+            targets_in = self.task.kernel_targets(state.task)
+        else:
+            k_alt, k_vt = jax.random.split(k_model)
+            alt_init = jax.random.uniform(k_alt, (n,), minval=cfg.min_altitude,
+                                          maxval=cfg.max_altitude)
+            vt_init = jax.random.uniform(k_vt, (n,), minval=cfg.min_vt,
+                                         maxval=cfg.max_vt)
+            tstate = self.task.reset_from_init(state.task, mask, alt_init,
+                                               vt_init, k_task)
+            targets_in = self.task.kernel_targets(tstate)
         step_count = jnp.where(mask, 0, state.step_count) + 1
 
         a = action
@@ -190,22 +208,26 @@ class Env:
                 [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
         # sensor noise: in-kernel via the TPU hardware PRNG when enabled
         # (saves a full [n,22] XLA pass; same N(0, noise_scale) distribution,
-        # different stream - see EnvConfig.kernel_obs_noise). The key splits
-        # are identical on both paths so everything else stays in lockstep.
-        key, k_obs = jax.random.split(key)
-        kernel_noise = (cfg.noise_scale > 0
-                        and getattr(cfg, "kernel_obs_noise", False))
+        # different stream - see EnvConfig.kernel_obs_noise)
         seed = None
-        if kernel_noise:
-            seed = jax.random.randint(k_obs, (1,), 0, jnp.iinfo(jnp.int32).max,
+        if kernel_noise or kernel_draws:
+            # seed from k_task when it's otherwise unused (kernel_draws) so
+            # k_obs stays free for the XLA noise fallback; k_obs otherwise
+            k_seed = k_task if kernel_draws else k_obs
+            seed = jax.random.randint(k_seed, (1,), 0,
+                                      jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
         fm = to_fm(state.model)  # no-op when already feature-major
-        sf_new, uf_new, obs_nl, done, bad, reward, counts = env_step_pallas(
+        outs = env_step_pallas(
             self.task.kernel_variant, cfg, self.model.weights,
             fm.sf, fm.uf, a[:, :4], mask, alt_init, vt_init,
-            self.task.kernel_targets(tstate), step_count,
+            targets_in, step_count,
             noise_seed=seed,
-            noise_scale=float(cfg.noise_scale) if kernel_noise else 0.0)
+            noise_scale=float(cfg.noise_scale) if kernel_noise else 0.0,
+            reset_draws=kernel_draws)
+        sf_new, uf_new, obs_nl, done, bad, reward, counts = outs[:7]
+        if kernel_draws:
+            tstate = self.task.state_from_kernel_targets(*outs[7:10])
 
         obs = (obs_nl if kernel_noise
                else add_sensor_noise(obs_nl, k_obs, cfg.noise_scale))

@@ -28,6 +28,12 @@ class ControlTask(BaseTask):
     def kernel_targets(tstate: "ControlTaskState"):
         return (tstate.target_pitch, tstate.target_heading, tstate.target_vt)
 
+    @staticmethod
+    def state_from_kernel_targets(t0, t1, t2) -> "ControlTaskState":
+        """Inverse of kernel_targets (kernel_reset_draws path)."""
+        return ControlTaskState(target_pitch=t0, target_heading=t1,
+                                target_vt=t2)
+
     def init_state(self, n: int) -> ControlTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return ControlTaskState(target_pitch=z, target_heading=z, target_vt=z)

@@ -35,6 +35,12 @@ class HeadingTask(BaseTask):
         return (tstate.target_altitude, tstate.target_heading,
                 tstate.target_vt)
 
+    @staticmethod
+    def state_from_kernel_targets(t0, t1, t2) -> "HeadingTaskState":
+        """Inverse of kernel_targets (kernel_reset_draws path)."""
+        return HeadingTaskState(target_altitude=t0, target_heading=t1,
+                                target_vt=t2)
+
     def init_state(self, n: int) -> HeadingTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return HeadingTaskState(target_altitude=z, target_heading=z, target_vt=z)

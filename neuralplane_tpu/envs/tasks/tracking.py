@@ -28,6 +28,12 @@ class TrackingTask(BaseTask):
         return (tstate.target_npos, tstate.target_epos,
                 tstate.target_altitude)
 
+    @staticmethod
+    def state_from_kernel_targets(t0, t1, t2) -> "TrackingTaskState":
+        """Inverse of kernel_targets (kernel_reset_draws path)."""
+        return TrackingTaskState(target_npos=t0, target_epos=t1,
+                                 target_altitude=t2)
+
     def init_state(self, n: int) -> TrackingTaskState:
         z = jnp.zeros(n, dtype=jnp.float32)
         return TrackingTaskState(target_npos=z, target_epos=z, target_altitude=z)

@@ -55,18 +55,24 @@ N_ACT = 4
 N_UO = 8  # 5 control rows, sublane-padded
 
 
-def _obs_noise_rows(seed_ref, tile: int, noise_scale: float):
+def _uniform_rows(rows: int, tile: int):
+    """[rows, tile] U[0,1) from the TPU hardware PRNG (mantissa fill).
+    The generator must already be seeded (pltpu.prng_seed); successive
+    calls continue the stream."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)), jnp.uint32)
+    # uniform [1,2) via mantissa fill, then shift to [0,1)
+    return pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000),
+                         jnp.float32) - 1.0
+
+
+def _obs_noise_rows(tile: int, noise_scale: float):
     """In-kernel sensor noise: hardware PRNG bits -> Box-Muller normals.
 
     24 uniform rows pair into 24 normal rows (12 radii x cos/sin); the
     first 22 perturb the observation. Distribution matches the portable
     path's jax.random.normal * noise_scale (tasks/base.add_sensor_noise);
     the stream differs (documented in EnvConfig.kernel_obs_noise)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    bits = pltpu.bitcast(pltpu.prng_random_bits((N_OBS, tile)), jnp.uint32)
-    # uniform [1,2) via mantissa fill, then shift to [0,1)
-    u = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000),
-                      jnp.float32) - 1.0
+    u = _uniform_rows(N_OBS, tile)
     half = N_OBS // 2
     r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[:half], 1e-7)))
     th = (2.0 * np.pi) * u[half:]
@@ -74,31 +80,112 @@ def _obs_noise_rows(seed_ref, tile: int, noise_scale: float):
                            axis=0) * noise_scale
 
 
-def _step_kernel(s_ref, u_ref, act_ref, msk_ref, alt_ref, vt_ref,
-                 tg0_ref, tg1_ref, tg2_ref, sc_ref,
-                 *rest,
-                 variant: str, consts: dict, dt: float, init_T: float,
-                 n: int, tile: int, hidden_bf16: bool, distilled: bool,
-                 noise_scale: float):
-    # rest = [seed (SMEM, if noise_scale > 0)] + weight refs (8) +
-    #        7 output refs (+ h3 scratch, grouped only)
-    if noise_scale > 0.0:
+def reset_consts(cfg, variant: str) -> dict:
+    """Config scalars for the in-kernel init draws + target resample
+    (EnvConfig.kernel_reset_draws). Formulas mirror models/f16.py:reset and
+    tasks/{heading,control,tracking}.reset_from_init exactly; only the
+    uniform stream differs (hardware PRNG instead of threefry)."""
+    rc = {
+        "min_alt": float(cfg.min_altitude), "max_alt": float(cfg.max_altitude),
+        "min_vt": float(cfg.min_vt), "max_vt": float(cfg.max_vt),
+    }
+    if variant == "heading":
+        rc["random_inc"] = bool(cfg.heading_random_increments)
+        rc["max_hdg_inc"] = float(cfg.max_heading_increment)
+        rc["max_alt_inc"] = float(cfg.max_altitude_increment)
+        rc["max_vu_inc"] = float(cfg.max_velocities_u_increment)
+    elif variant == "control":
+        rc["max_pitch_inc"] = float(cfg.max_pitch_increment)
+        rc["max_hdg_inc"] = float(cfg.max_heading_increment)
+        rc["max_vu_inc"] = float(cfg.max_velocities_u_increment)
+    elif variant == "tracking":
+        rc["min_dist"] = float(cfg.min_distance)
+        rc["max_dist"] = float(cfg.max_distance)
+    return rc
+
+
+def _resample_targets(variant: str, rc: dict, du, alt_init, vt_init):
+    """Post-reset targets from the in-kernel uniform rows du[2:5].
+    Mirrors tasks/{heading,control,tracking}.reset_from_init."""
+    from .task_pallas import _wrap_pi
+    if variant == "heading":
+        if rc["random_inc"]:
+            d_hdg = (du[2] - 0.5) * 2.0 * rc["max_hdg_inc"]
+            d_alt = (du[3] - 0.5) * 2.0 * rc["max_alt_inc"]
+            d_vt = (du[4] - 0.5) * 2.0 * rc["max_vu_inc"]
+        else:  # reference fixed increments (heading_task.py:60-69)
+            d_hdg = 2.0 * np.pi / 3.0
+            d_alt = 1000.0
+            d_vt = 0.0
+        return (alt_init + d_alt, _wrap_pi(jnp.zeros_like(alt_init) + d_hdg),
+                vt_init + d_vt)
+    if variant == "control":
+        d_pitch = (du[2] - 0.5) * 2.0 * rc["max_pitch_inc"]
+        d_hdg = (du[3] - 0.5) * 2.0 * rc["max_hdg_inc"]
+        d_vt = (du[4] - 0.5) * 2.0 * rc["max_vu_inc"]
+        return (_wrap_pi(d_pitch), _wrap_pi(d_hdg), vt_init + d_vt)
+    # tracking: point on a sphere sector (tracking_task.py:57-71)
+    dist = du[2] * (rc["max_dist"] - rc["min_dist"]) + rc["min_dist"]
+    th1 = du[3] * (np.pi / 3.0) - np.pi / 6.0
+    th2 = du[4] * (np.pi / 3.0) - np.pi / 6.0
+    return (dist * jnp.cos(th1) * jnp.cos(th2),
+            dist * jnp.cos(th1) * jnp.sin(th2),
+            alt_init + dist * jnp.sin(th1))
+
+
+def _step_kernel(s_ref, u_ref, act_ref, msk_ref, *rest,
+                 variant: str, consts: dict, rconsts: dict, dt: float,
+                 init_T: float, n: int, tile: int, hidden_bf16: bool,
+                 distilled: bool, noise_scale: float, reset_draws: bool):
+    # rest = [alt, vt (unless reset_draws)] + [tg0, tg1, tg2, sc]
+    #        + [seed (SMEM, if noise or draws)] + weight refs (8)
+    #        + 7 output refs [+ tg0/1/2 outs, if reset_draws]
+    #        (+ h3 scratch, grouped only)
+    if not reset_draws:
+        alt_ref, vt_ref, rest = rest[0], rest[1], rest[2:]
+    tg0_ref, tg1_ref, tg2_ref, sc_ref = rest[:4]
+    rest = rest[4:]
+    if noise_scale > 0.0 or reset_draws:
         seed_ref, rest = rest[0], rest[1:]
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     w_refs = rest[:8]
+    outs = rest[8:]
     (s_out, u_out, obs_ref, done_ref, bad_ref, rew_ref,
-     cnt_ref) = rest[8:15]
+     cnt_ref) = outs[:7]
+    outs = outs[7:]
+    if reset_draws:
+        tg_outs, outs = outs[:3], outs[3:]
     if not distilled:
-        h3_scratch = rest[15]
+        h3_scratch = outs[0]
     m = msk_ref[...] != 0.0
+
+    # 0. init draws + target resample, in-kernel (hardware PRNG) when
+    #    enabled: rows 0/1 are the alt/vt init uniforms, rows 2-4 the task
+    #    resample draws (EnvConfig.kernel_reset_draws)
+    if reset_draws:
+        du = _uniform_rows(8, tile)
+        alt_init = rconsts["min_alt"] + du[0] * (rconsts["max_alt"]
+                                                 - rconsts["min_alt"])
+        vt_init = rconsts["min_vt"] + du[1] * (rconsts["max_vt"]
+                                               - rconsts["min_vt"])
+        t_new = _resample_targets(variant, rconsts, du, alt_init, vt_init)
+        tr = tuple(jnp.where(m, t_new[i], (tg0_ref[...], tg1_ref[...],
+                                           tg2_ref[...])[i])
+                   for i in range(3))
+        for i in range(3):
+            tg_outs[i][...] = tr[i]
+    else:
+        alt_init, vt_init = alt_ref[...], vt_ref[...]
+        tr = (tg0_ref[...], tg1_ref[...], tg2_ref[...])
 
     # 1. masked reset select (rows restart from the init state)
     s_rows = []
     for i in range(N_S):
         cur = s_ref[i, :]
         if i == 2:
-            s_rows.append(jnp.where(m, alt_ref[...], cur))
+            s_rows.append(jnp.where(m, alt_init, cur))
         elif i == 6:
-            s_rows.append(jnp.where(m, vt_ref[...], cur))
+            s_rows.append(jnp.where(m, vt_init, cur))
         else:
             s_rows.append(jnp.where(m, 0.0, cur))
 
@@ -127,11 +214,10 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, alt_ref, vt_ref,
     s_new = [s_rows[i] + dt * xd[i] for i in range(N_S)]
 
     # 5. task layer at the post-update state with the step-start xdot
-    tr = (tg0_ref[...], tg1_ref[...], tg2_ref[...])
     obs_rows, done, bad, reward, conds = task_rows(
         variant, consts, s_new, u_rows, xd, tr, sc_ref[...])
     if noise_scale > 0.0:
-        noise = _obs_noise_rows(seed_ref, tile, noise_scale)
+        noise = _obs_noise_rows(tile, noise_scale)
         obs_rows = [obs_rows[i] + noise[i] for i in range(len(obs_rows))]
 
     zeros = jnp.zeros_like(s_new[0])
@@ -148,7 +234,8 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
                     step_count: jnp.ndarray, tile: int | None = None,
                     hidden_bf16: bool = True,
                     noise_seed: Optional[jnp.ndarray] = None,
-                    noise_scale: float = 0.0):
+                    noise_scale: float = 0.0,
+                    reset_draws: bool = False):
     """Fused env step. Inputs are the PRE-reset state/control in the
     feature-major padded layout (sf [16,n], uf [8,n] - models/f16.py
     F16StateFM; the kernel's native tile layout, so the previous step's
@@ -161,7 +248,13 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     With noise_seed (int32 [1]) + noise_scale > 0, sensor noise is drawn
     in-kernel from the TPU hardware PRNG (_obs_noise_rows; NOT available in
     interpret mode) and the returned obs is already noisy; otherwise obs is
-    noiseless and the caller adds XLA noise (tasks/base.add_sensor_noise)."""
+    noiseless and the caller adds XLA noise (tasks/base.add_sensor_noise).
+
+    With reset_draws=True (requires noise_seed), the alt/vt init uniforms
+    AND the task target resample also run in-kernel from the hardware PRNG
+    (EnvConfig.kernel_reset_draws): alt_init/vt_init args are ignored (pass
+    None), `targets` must be the PRE-resample targets, and the return tuple
+    gains the post-resample targets (t0, t1, t2) at the end."""
     import functools
 
     n = sf.shape[1]
@@ -176,11 +269,15 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     tile = min(tile, max(8, n))
     grid = -(-n // tile)
 
+    if reset_draws:
+        assert noise_seed is not None, "reset_draws needs a PRNG seed"
     kernel = functools.partial(
         _step_kernel, variant=variant, consts=task_consts(cfg),
+        rconsts=reset_consts(cfg, variant) if reset_draws else {},
         dt=float(cfg.dt), init_T=float(cfg.init_state.init_T), n=n,
         tile=tile, hidden_bf16=hidden_bf16, distilled=distilled,
-        noise_scale=float(noise_scale) if kernel_noise else 0.0)
+        noise_scale=float(noise_scale) if kernel_noise else 0.0,
+        reset_draws=reset_draws)
 
     row = lambda i: (0, i)
     vec = lambda i: (i,)
@@ -209,9 +306,16 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
 
     seed_specs = []
     seed_args = ()
-    if kernel_noise:
+    if kernel_noise or reset_draws:
         seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         seed_args = (noise_seed.astype(jnp.int32),)
+
+    vspec = pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM)
+    initdraw_specs = [] if reset_draws else [vspec, vspec]
+    initdraw_args = () if reset_draws else (alt_init, vt_init)
+    tgt_out_specs = [vspec] * 3 if reset_draws else []
+    tgt_out_shapes = ([jax.ShapeDtypeStruct((n,), jnp.float32)] * 3
+                      if reset_draws else [])
 
     outs = pl.pallas_call(
         kernel,
@@ -220,13 +324,12 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             pl.BlockSpec((N_XD, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((N_UO, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((N_ACT, tile), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            vspec,
+            *initdraw_specs,
+            vspec,
+            vspec,
+            vspec,
+            vspec,
             *seed_specs,
             *weight_specs,
         ],
@@ -234,11 +337,12 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             pl.BlockSpec((N_XD, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((N_UO, tile), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((N_OBS, tile), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), vec, memory_space=pltpu.VMEM),
+            vspec,
+            vspec,
+            vspec,
             pl.BlockSpec((N_CND, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            *tgt_out_specs,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N_XD, n), jnp.float32),
@@ -248,14 +352,16 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((n,), jnp.float32),
             jax.ShapeDtypeStruct((N_CND, grid * 128), jnp.float32),
+            *tgt_out_shapes,
         ],
         scratch_shapes=scratch_shapes,
     )(sf, uf, act_t, reset_mask.astype(jnp.float32),
-      alt_init, vt_init, targets[0], targets[1], targets[2],
+      *initdraw_args, targets[0], targets[1], targets[2],
       step_count.astype(jnp.int32), *seed_args, *gw_t)
 
-    sf_new, uf_new, obs_t, done_f, bad_f, reward, counts = outs
+    sf_new, uf_new, obs_t, done_f, bad_f, reward, counts = outs[:7]
     # lane 0 of each tile's replicated count block (see task_pallas.py note)
     tile_counts = counts.reshape(N_CND, grid, 128)[:6, :, 0]
-    return (sf_new, uf_new, obs_t[:22].T,
+    base = (sf_new, uf_new, obs_t[:22].T,
             done_f > 0.5, bad_f > 0.5, reward, tile_counts.sum(axis=1))
+    return base + tuple(outs[7:10]) if reset_draws else base

@@ -111,6 +111,14 @@ class EnvConfig:
     # false for bit-exact fused==portable observations
     kernel_obs_noise: bool = True
 
+    # draw the auto-reset init uniforms (altitude, vt) AND the task target
+    # resample inside the fused step kernel from the TPU hardware PRNG
+    # (ops/step_pallas.py reset_consts/_resample_targets) instead of
+    # threefry + a [n]-wide select pass in XLA. Same distributions and the
+    # same masked-reset semantics, different stream than the portable path
+    # - set false for bit-exact fused==portable states/targets
+    kernel_reset_draws: bool = True
+
     # deterministic-vs-random target resampling for the heading task
     # (the reference hardcodes fixed increments with the random path
     # commented out, `envs/tasks/heading_task.py:60-65`)

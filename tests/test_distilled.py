@@ -101,7 +101,7 @@ def test_fused_step_distilled_matches_portable(interpret_pallas, monkeypatch):
     env.model.weights = dw
     env._task_kernel = True
     import dataclasses
-    env.config = dataclasses.replace(env.config, kernel_obs_noise=False)
+    env.config = dataclasses.replace(env.config, kernel_obs_noise=False, kernel_reset_draws=False)
     env_ref = ControlEnv(num_envs=n, config="heading", model="F16",
                          aero_backend="stacked")
     env_ref.model.weights = dw

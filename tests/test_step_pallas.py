@@ -35,7 +35,7 @@ def test_fused_step_matches_portable(interpret_pallas, scenario, monkeypatch):
     # in-kernel obs noise needs the TPU hardware PRNG (absent in interpret
     # mode) and is a different stream by design; both sides use XLA noise
     import dataclasses
-    env.config = dataclasses.replace(env.config, kernel_obs_noise=False)
+    env.config = dataclasses.replace(env.config, kernel_obs_noise=False, kernel_reset_draws=False)
     env_ref = ControlEnv(num_envs=n, config=scenario, model="F16",
                          aero_backend="pallas")
     env_ref._task_kernel = False
@@ -87,7 +87,7 @@ def test_fused_step_resets_flagged_rows(interpret_pallas):
     env = ControlEnv(num_envs=n, config="heading", model="F16",
                      aero_backend="pallas")
     import dataclasses
-    env.config = dataclasses.replace(env.config, kernel_obs_noise=False)
+    env.config = dataclasses.replace(env.config, kernel_obs_noise=False, kernel_reset_draws=False)
     state, _ = env.reset(jax.random.PRNGKey(0))
     state = state.replace(
         bad_done=jnp.arange(n) % 2 == 0,
@@ -102,3 +102,53 @@ def test_fused_step_resets_flagged_rows(interpret_pallas):
     assert (alt[flagged] <= cfg.max_altitude + 50).all()
     assert (sc[flagged] == 1).all()
     assert (sc[~flagged] == 58).all()
+
+
+def test_resample_targets_matches_reset_from_init():
+    """The in-kernel target resample (_resample_targets) is pure jnp math;
+    fed the same uniforms it must reproduce each task's reset_from_init
+    exactly (the kernel_reset_draws path only changes WHERE the uniforms
+    come from, never the formulas)."""
+    from neuralplane_tpu.envs import ControlEnv
+    from neuralplane_tpu.ops.step_pallas import reset_consts, _resample_targets
+
+    n = 256
+    key = jax.random.PRNGKey(11)
+    du = jax.random.uniform(key, (8, n))
+    for scenario in ("heading", "control", "tracking"):
+        env = ControlEnv(num_envs=n, config=scenario, model="F16",
+                         aero_backend="stacked")
+        cfg = env.config
+        rc = reset_consts(cfg, env.task.kernel_variant)
+        alt_init = rc["min_alt"] + du[0] * (rc["max_alt"] - rc["min_alt"])
+        vt_init = rc["min_vt"] + du[1] * (rc["max_vt"] - rc["min_vt"])
+        got = _resample_targets(env.task.kernel_variant, rc, du,
+                                alt_init, vt_init)
+
+        # reference: reset_from_init with a mocked uniform stream returning
+        # the same du rows in draw order
+        import neuralplane_tpu.envs.tasks.heading as th
+        draws = iter([du[2], du[3], du[4]])
+        orig_uniform = jax.random.uniform
+
+        def fake_uniform(k, shape=(), **kw):
+            if shape == (n,) and not kw:  # task resample draws are unit-range
+                return next(draws)
+            return orig_uniform(k, shape, **kw)
+
+        mask = jnp.ones(n, dtype=bool)
+        tstate0 = env.task.init_state(n)
+        jax.random.uniform = fake_uniform
+        try:
+            ts = env.task.reset_from_init(tstate0, mask, alt_init, vt_init,
+                                          jax.random.PRNGKey(0))
+        finally:
+            jax.random.uniform = orig_uniform
+        want = env.task.kernel_targets(ts)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-3)
+        # roundtrip: state_from_kernel_targets inverts kernel_targets
+        ts2 = env.task.state_from_kernel_targets(*want)
+        for g, w in zip(env.task.kernel_targets(ts2), want):
+            assert g is w
