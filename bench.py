@@ -21,7 +21,9 @@ BASELINE_S_PER_STEP_1M = 0.2103
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--steps", type=int, default=100)
+    # the reference times 500 steps (envs/measure_env.py:74); shorter runs
+    # under-amortize the first-dispatch tail through the TPU relay
+    ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--sweep", action="store_true",
                     help="also print the 10^0..10^6 sweep to stderr")
     ap.add_argument("--aero", default="auto",

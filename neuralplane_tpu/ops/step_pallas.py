@@ -266,7 +266,10 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
         # activation scratch), so larger tiles fit and amortize better
         # (TPU sweep: 8192 -> 3.87 ms/step vs 4.35 at 2048; 16384 OOMs).
         tile = aero_pallas.DISTILLED_TILE if distilled else TILE
-    tile = min(tile, max(8, n))
+    # a block equal to the full array is always legal (Mosaic requirement:
+    # lane dim divisible by 128 OR equal to the array dim), so small batches
+    # run as a single whole-array block
+    tile = min(tile, n)
     grid = -(-n // tile)
 
     if reset_draws:
