@@ -209,14 +209,29 @@ def _trunk_step(p: Params, spec: NetSpec, obs: jnp.ndarray, h: jnp.ndarray,
 
 def _trunk_seq(p: Params, spec: NetSpec, obs: jnp.ndarray, h0: jnp.ndarray,
                masks: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    x = obs
-    if spec.use_feature_normalization:
-        x = _layer_norm(p["feature_norm"], x)
-    x = _mlp(p["base"], x, spec.activation)
-    if spec.use_recurrent_policy:
-        x, hT = _gru_seq(p["gru"], x, h0, masks)
-        return x, hT
-    return x, h0
+    if not spec.use_recurrent_policy:
+        x = obs
+        if spec.use_feature_normalization:
+            x = _layer_norm(p["feature_norm"], x)
+        return _mlp(p["base"], x, spec.activation), h0
+
+    # Recurrent path: ONE scan over T with a rematerialized body. Without
+    # remat, the BPTT backward keeps every per-timestep/per-gate activation
+    # alive at once ([T, N, H] x ~20 tensors - 33+ GB at the reference's
+    # 3000x3000 control workload, OOMing a 16 GB chip); jax.checkpoint
+    # recomputes them per timestep in the backward instead, storing only
+    # the [N, layers, H] carries. Same values, same gradients.
+    def body(h, inp):
+        o, m = inp
+        x = o
+        if spec.use_feature_normalization:
+            x = _layer_norm(p["feature_norm"], x)
+        x = _mlp(p["base"], x, spec.activation)
+        x, h = _gru_step(p["gru"], x, h, m)
+        return h, x
+
+    hT, ys = jax.lax.scan(jax.checkpoint(body), h0, (obs, masks))
+    return ys, hT
 
 
 # -------------------------------------------------------------------- actor

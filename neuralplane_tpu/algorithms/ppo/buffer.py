@@ -34,8 +34,9 @@ class RolloutBatch:
     bad_masks: jnp.ndarray          # [T+1, N, 1]
     action_log_probs: jnp.ndarray   # [T, N, 1]
     value_preds: jnp.ndarray        # [T+1, N, 1]  (V(obs[T]) = bootstrap)
-    rnn_states_actor: jnp.ndarray   # [T, N, L, H]
-    rnn_states_critic: jnp.ndarray  # [T, N, L, H]
+    rnn_states_actor: jnp.ndarray   # [T, N, L, H], or [T/chunk, N, L, H]
+    rnn_states_critic: jnp.ndarray  # (chunk-start inputs only - make_chunks
+                                    #  accepts both layouts)
 
 
 def compute_returns(batch: RolloutBatch, gamma: float, gae_lambda: float,
@@ -105,6 +106,17 @@ def make_chunks(batch: RolloutBatch, returns: jnp.ndarray,
     advs = to_chunks(advantages)
     rets = to_chunks(returns)
     vpreds = to_chunks(batch.value_preds[:-1])
-    h0_actor = to_chunks(batch.rnn_states_actor)[:, 0]
-    h0_critic = to_chunks(batch.rnn_states_critic)[:, 0]
+
+    def h0_chunks(h):
+        if h.shape[0] == T // chunk_length:
+            # already subsampled to chunk starts ([T/L, N, L_gru, H] - the
+            # f16sim collect records h only at chunk boundaries, saving
+            # (L-1)/L of the dominant rollout-buffer allocation); same
+            # chunk ordering as to_chunks(...)[:, 0]
+            h = jnp.swapaxes(h, 0, 1)
+            return h.reshape(N * (T // chunk_length), *h.shape[2:])
+        return to_chunks(h)[:, 0]
+
+    h0_actor = h0_chunks(batch.rnn_states_actor)
+    h0_critic = h0_chunks(batch.rnn_states_critic)
     return obs, actions, masks, old_logp, advs, rets, vpreds, h0_actor, h0_critic

@@ -104,7 +104,6 @@ class F16SimRunner(Runner):
             obs=carry.obs, actions=actions, rewards=out.reward[:, None],
             masks=carry.masks, bad_masks=carry.bad_masks,
             action_log_probs=logp, value_preds=values,
-            rnn_states_actor=carry.h_actor, rnn_states_critic=carry.h_critic,
             done_count=out.done.sum(),
             bad_count=out.bad_done.sum(),
             info=out.info if out.info is not None else {},
@@ -117,11 +116,29 @@ class F16SimRunner(Runner):
     @functools.partial(jax.jit, static_argnums=0)
     def collect(self, params: dict, carry: RolloutCarry
                 ) -> Tuple[RolloutCarry, RolloutBatch, jnp.ndarray]:
-        """Roll buffer_size steps; returns (carry, batch, episodes_finished)."""
-        def body(c, _):
+        """Roll buffer_size steps; returns (carry, batch, episodes_finished).
+
+        Two-level scan: outer over the T/L recurrent chunks, inner over the
+        L steps of a chunk. The rnn states are recorded ONCE per chunk (the
+        stored *input* state of the chunk's first step - all the PPO update
+        ever reads, algorithms/ppo/buffer.make_chunks), not once per step:
+        at the reference's 3000x3000 control workload the per-step history
+        was the single largest allocation (2 x 4.3 GB of the 16 GB chip)."""
+        T, L = self.cfg.buffer_size, self.cfg.data_chunk_length
+        if T % L != 0:
+            raise ValueError(f"buffer_size {T} % data_chunk_length {L} != 0")
+
+        def inner(c, _):
             return self._collect_step(params, c)
-        carry, steps = jax.lax.scan(body, carry, None,
-                                    length=self.cfg.buffer_size)
+
+        def outer(c, _):
+            h0_a, h0_c = c.h_actor, c.h_critic
+            c, steps = jax.lax.scan(inner, c, None, length=L)
+            return c, (steps, h0_a, h0_c)
+
+        carry, (steps, h0_a, h0_c) = jax.lax.scan(outer, carry, None,
+                                                  length=T // L)
+        steps = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), steps)
         bootstrap = self.policy.get_values(params, carry.obs, carry.h_critic,
                                            carry.masks)
         batch = RolloutBatch(
@@ -134,8 +151,8 @@ class F16SimRunner(Runner):
             action_log_probs=steps["action_log_probs"],
             value_preds=jnp.concatenate([steps["value_preds"],
                                          bootstrap[None]], axis=0),
-            rnn_states_actor=steps["rnn_states_actor"],
-            rnn_states_critic=steps["rnn_states_critic"],
+            rnn_states_actor=h0_a,
+            rnn_states_critic=h0_c,
         )
         counters = {k: v.sum() for k, v in steps.get("info", {}).items()}
         counters["episodes_reached_target"] = steps["done_count"].sum()
