@@ -79,7 +79,6 @@ class MAPPOSelfplayRunner(SelfplayRunner):
             rewards=ego_rew, opp_rewards=opp_rew, masks=carry.ego_masks,
             bad_masks=carry.bad_masks, active_masks=active,
             action_log_probs=logp, value_preds=values,
-            rnn_states_actor=carry.h_actor, rnn_states_critic=carry.h_critic,
             done_count=out.done.sum() + out.bad_done.sum(),
         )
         new_carry = SelfplayCarry(
@@ -91,10 +90,23 @@ class MAPPOSelfplayRunner(SelfplayRunner):
     @functools.partial(jax.jit, static_argnums=0)
     def collect(self, params: dict, opp_params: dict, carry: SelfplayCarry
                 ) -> Tuple[SelfplayCarry, SharedRolloutBatch, jnp.ndarray]:
-        def body(c, _):
+        # two-level scan: rnn states recorded once per recurrent chunk (the
+        # chunk-start input - all make_chunks reads; see runner/f16sim.py)
+        T, L = self.cfg.buffer_size, self.cfg.data_chunk_length
+        if T % L != 0:
+            raise ValueError(f"buffer_size {T} % data_chunk_length {L} != 0")
+
+        def inner(c, _):
             return self._collect_step(params, opp_params, c)
-        carry, steps = jax.lax.scan(body, carry, None,
-                                    length=self.cfg.buffer_size)
+
+        def outer(c, _):
+            h0_a, h0_c = c.h_actor, c.h_critic
+            c, steps = jax.lax.scan(inner, c, None, length=L)
+            return c, (steps, h0_a, h0_c)
+
+        carry, (steps, h0_a, h0_c) = jax.lax.scan(outer, carry, None,
+                                                  length=T // L)
+        steps = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), steps)
         cent = self._share_obs(carry.ego_obs)
         bootstrap = self.policy.get_values(params, cent, carry.h_critic,
                                            carry.ego_masks)
@@ -113,7 +125,7 @@ class MAPPOSelfplayRunner(SelfplayRunner):
             action_log_probs=steps["action_log_probs"],
             value_preds=jnp.concatenate([steps["value_preds"],
                                          bootstrap[None]], axis=0),
-            rnn_states_actor=steps["rnn_states_actor"],
-            rnn_states_critic=steps["rnn_states_critic"],
+            rnn_states_actor=h0_a,
+            rnn_states_critic=h0_c,
         )
         return carry, batch, steps["done_count"].sum()
