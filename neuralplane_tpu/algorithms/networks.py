@@ -170,17 +170,6 @@ def _gru_step(p: Params, x: jnp.ndarray, h: jnp.ndarray, mask: jnp.ndarray
     return _layer_norm(p["ln"], x), jnp.stack(new_h, axis=1)
 
 
-def _gru_seq(p: Params, xs: jnp.ndarray, h0: jnp.ndarray, masks: jnp.ndarray
-             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Chunked-BPTT sequence pass. xs: [T, N, D], masks: [T, N, 1]."""
-    def body(h, inp):
-        x, m = inp
-        y, h = _gru_step(p, x, h, m)
-        return h, y
-    hT, ys = jax.lax.scan(body, h0, (xs, masks))
-    return ys, hT
-
-
 # ------------------------------------------------------------- trunk (shared)
 
 def _trunk_init(key: jax.Array, spec: NetSpec) -> Params:

@@ -41,9 +41,10 @@ class F16State:
 # counts are sublane-padded (12 state rows -> 16, 5 control rows -> 8).
 # Keeping the env state in exactly that layout makes the kernel boundary a
 # pure buffer reuse - no [16,n]->[n,12] slice+re-layout copies per step
-# (~0.5 ms at n=10^6, measured from the jax.profiler trace).
-FM_S_ROWS = 16
-FM_U_ROWS = 8
+# (~0.5 ms at n=10^6, measured from the jax.profiler trace). Row counts are
+# the kernel's own, so layout changes cannot drift apart silently.
+from ..ops.aero_pallas import N_XD as FM_S_ROWS  # noqa: E402
+from ..ops.step_pallas import N_UO as FM_U_ROWS  # noqa: E402
 
 
 @struct.dataclass
@@ -71,11 +72,15 @@ class F16StateFM:
 
     @property
     def recent_s(self) -> jnp.ndarray:
-        return self.s
+        raise NotImplementedError(
+            "F16StateFM does not carry recent_s (an unchanged donated "
+            "passthrough costs a full copy per step); combat/planning, the "
+            "rollback consumers, run on the portable F16State path")
 
     @property
     def recent_u(self) -> jnp.ndarray:
-        return self.u
+        raise NotImplementedError(
+            "F16StateFM does not carry recent_u; see recent_s")
 
 
 def to_fm(state: F16State) -> F16StateFM:
@@ -85,6 +90,16 @@ def to_fm(state: F16State) -> F16StateFM:
     pad_s = lambda a: jnp.pad(a.T, ((0, FM_S_ROWS - a.shape[1]), (0, 0)))
     pad_u = lambda a: jnp.pad(a.T, ((0, FM_U_ROWS - a.shape[1]), (0, 0)))
     return F16StateFM(sf=pad_s(state.s), uf=pad_u(state.u))
+
+
+def from_fm(state: F16StateFM) -> F16State:
+    """Convert the fused-path feature-major layout back to the portable
+    agent-major state. `recent_*` is not carried by F16StateFM, so the
+    current state stands in (the only information an FM state has)."""
+    if isinstance(state, F16State):
+        return state
+    s, u = state.s, state.u
+    return F16State(s=s, u=u, recent_s=s, recent_u=u)
 
 
 class F16Model:

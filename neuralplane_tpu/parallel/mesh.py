@@ -50,9 +50,15 @@ def shard_batch_tree(tree, ns, mesh: Mesh, axis_name: str = "dp"):
 
     def place(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-            for ax, dim in enumerate(leaf.shape):
-                if dim in ns:
-                    return shard_batch(leaf, mesh, axis_name, axis=ax)
+            # among axes whose size is a batch size, shard the LARGEST
+            # (ties -> the last axis): feature-row axes of FM leaves (8/16
+            # rows) can collide with tiny test batch sizes, and the agent
+            # axis is always the bigger one of the two
+            cands = [(dim, ax) for ax, dim in enumerate(leaf.shape)
+                     if dim in ns]
+            if cands:
+                _, ax = max(cands)
+                return shard_batch(leaf, mesh, axis_name, axis=ax)
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, tree)

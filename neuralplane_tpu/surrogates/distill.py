@@ -211,7 +211,9 @@ def fit(w43: AeroWeights, hidden: int = 128, steps: int = 20000,
     opt = optax.adam(sched)
     opt_state = opt.init(params)
 
-    ema = params
+    # bias-corrected EMA: accumulate from zero and divide by (1 - d^t) at
+    # the end, so short fits are not dominated by the random init
+    ema = jax.tree.map(jnp.zeros_like, params)
 
     @jax.jit
     def step(params, ema, opt_state, key):
@@ -243,7 +245,11 @@ def fit(w43: AeroWeights, hidden: int = 128, steps: int = 20000,
         params, ema, opt_state, key, loss = step(params, ema, opt_state, key)
         if log_every and (i % log_every == 0 or i == steps - 1):
             log_fn(f"distill step {i}: z-mse {float(loss):.3e}")
-    out = ema if ema_decay else params
+    if ema_decay:
+        corr = 1.0 - ema_decay ** steps
+        out = jax.tree.map(lambda e: e / corr, ema)
+    else:
+        out = params
     return out, np.asarray(mean), np.asarray(std)
 
 

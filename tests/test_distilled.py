@@ -107,11 +107,16 @@ def test_fused_step_distilled_matches_portable(interpret_pallas, monkeypatch):
     env_ref.model.weights = dw
     env_ref._task_kernel = False
 
+    from neuralplane_tpu.models.f16 import from_fm
+
     state, _ = env.reset(jax.random.PRNGKey(0))
     for i in range(3):
         a = jax.random.uniform(jax.random.PRNGKey(20 + i), (n, 4),
                                minval=-1.0, maxval=1.0)
-        ref_state = jax.tree.map(jnp.array, state)
+        # portable path wants the agent-major F16State (FM carries no
+        # recent_*); copy leaves so donation of `state` can't alias it
+        ref_state = jax.tree.map(
+            jnp.array, state.replace(model=from_fm(state.model)))
         state, out = env._step_fused(state, a)
         ref_state, out_ref = env_ref.step(ref_state, a)
         np.testing.assert_allclose(np.asarray(out.obs),

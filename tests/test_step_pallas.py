@@ -45,7 +45,11 @@ def test_fused_step_matches_portable(interpret_pallas, scenario, monkeypatch):
     for i in range(4):
         a = jax.random.uniform(jax.random.PRNGKey(10 + i),
                                (n, env.num_actions), minval=-1.0, maxval=1.0)
-        ref_state = jax.tree.map(jnp.array, state)
+        # portable path wants the agent-major F16State (FM carries no
+        # recent_*); copy leaves so donation of `state` can't alias it
+        from neuralplane_tpu.models.f16 import from_fm
+        ref_state = jax.tree.map(
+            jnp.array, state.replace(model=from_fm(state.model)))
         state, out = env._step_fused(state, a)
         ref_state, out_ref = env_ref.step(ref_state, a)
 
