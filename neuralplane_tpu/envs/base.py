@@ -26,6 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..models.c172p import C172PModel
 from ..models.f16 import F16Model
 from ..models.uav import UAVModel
 from ..ops.aero import load_aero_weights, select_aero_weights
@@ -33,7 +34,7 @@ from ..utils.config import EnvConfig, load_config
 from .tasks import TASKS
 from .types import EnvState, StepOutput
 
-MODELS = {"F16": F16Model, "UAV": UAVModel}
+MODELS = {"F16": F16Model, "UAV": UAVModel, "C172P": C172PModel}
 
 
 class Env:
@@ -247,11 +248,13 @@ class Env:
 
 
 class ControlEnv(Env):
-    """Single-agent control env factory: model in {F16, UAV}, task in
+    """Single-agent control env factory: model in {F16, UAV, C172P}, task in
     {heading, control, tracking} (parity: `envs/control_env.py:12-35`)."""
 
     def __init__(self, num_envs: int = 10, config: str = "heading",
                  model: str = "F16", aero_backend: str = "auto"):
-        task = config if isinstance(config, str) else "heading"
+        # scenario files are named <task>[_<variant>].yaml (e.g.
+        # heading_c172p); the task is the leading token
+        task = config.split("_")[0] if isinstance(config, str) else "heading"
         super().__init__(num_envs, config=config, task=task, model=model,
                          aero_backend=aero_backend)

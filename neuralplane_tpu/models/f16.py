@@ -103,10 +103,17 @@ def from_fm(state: F16StateFM) -> F16State:
 
 
 class F16Model:
-    """Stateless model ops; config + aero weights are trace-time constants."""
+    """Stateless model ops; config + aero weights are trace-time constants.
+
+    Subclass hook points for other airframes sharing the [n,12] wind-axis
+    state layout (e.g. models/c172p.py): override `dynamics` plus the
+    `thrust_scale`/`surface_scales` class attributes.
+    """
 
     num_states = 12
     num_controls = 5
+    thrust_scale = THRUST_SCALE
+    surface_scales = (SURFACE_SCALE, SURFACE_SCALE, SURFACE_SCALE)
 
     def __init__(self, config: EnvConfig, weights: AeroWeights):
         self.config = config
@@ -144,22 +151,28 @@ class F16Model:
         recent_u = jnp.where(m, u, state.recent_u)
         return F16State(s=s, u=u, recent_s=recent_s, recent_u=recent_u)
 
-    def update(self, state: F16State, action: jnp.ndarray) -> F16State:
-        """Actuator first-order lag + one integrator step.
+    def dynamics(self, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """xdot = f(s, u); the one airframe-specific piece (overridable)."""
+        return nlplant_f16(self.weights, s, u)
 
-        u <- 0.9*u + 0.1*scale(action); lef pinned to 0
-        (`envs/models/F16_model.py:51-67`).
-        """
+    def _lagged_controls(self, state: F16State, action: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """u <- 0.9*u + 0.1*scale(action); lef pinned to 0
+        (`envs/models/F16_model.py:51-62`)."""
         a = jnp.clip(action, -1.0, 1.0)
         if a.shape[1] < 4:  # narrow action spaces (e.g. tracking's 3) -> pad
             a = jnp.concatenate(
                 [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
-        scale = jnp.array([THRUST_SCALE, SURFACE_SCALE, SURFACE_SCALE,
-                           SURFACE_SCALE], dtype=state.u.dtype)
+        scale = jnp.array([self.thrust_scale, *self.surface_scales],
+                          dtype=state.u.dtype)
         u4 = 0.9 * state.u[:, :4] + 0.1 * a[:, :4] * scale
-        u = jnp.concatenate([u4, jnp.zeros_like(state.u[:, 4:5])], axis=1)
-        f = lambda s_, u_: nlplant_f16(self.weights, s_, u_)
-        s = integrate(f, state.s, u, self.dt, self.solver)
+        return jnp.concatenate([u4, jnp.zeros_like(state.u[:, 4:5])], axis=1)
+
+    def update(self, state: F16State, action: jnp.ndarray) -> F16State:
+        """Actuator first-order lag + one integrator step
+        (`envs/models/F16_model.py:51-67`)."""
+        u = self._lagged_controls(state, action)
+        s = integrate(self.dynamics, state.s, u, self.dt, self.solver)
         return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u)
 
     def update_with_xdot(self, state: F16State, action: jnp.ndarray):
@@ -167,27 +180,19 @@ class F16Model:
         the integrator computes it anyway, and consumers that accept the
         one-substep-stale value (overload/accel checks) save a second full
         dynamics evaluation per step."""
-        a = jnp.clip(action, -1.0, 1.0)
-        if a.shape[1] < 4:
-            a = jnp.concatenate(
-                [a, jnp.zeros((a.shape[0], 4 - a.shape[1]), a.dtype)], axis=1)
-        scale = jnp.array([THRUST_SCALE, SURFACE_SCALE, SURFACE_SCALE,
-                           SURFACE_SCALE], dtype=state.u.dtype)
-        u4 = 0.9 * state.u[:, :4] + 0.1 * a[:, :4] * scale
-        u = jnp.concatenate([u4, jnp.zeros_like(state.u[:, 4:5])], axis=1)
-        f = lambda s_, u_: nlplant_f16(self.weights, s_, u_)
-        s, xdot = integrate_with_xdot(f, state.s, u, self.dt, self.solver)
+        u = self._lagged_controls(state, action)
+        s, xdot = integrate_with_xdot(self.dynamics, state.s, u, self.dt,
+                                      self.solver)
         return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u), xdot
 
     def raw_control_update(self, state: F16State, u: jnp.ndarray) -> F16State:
         """Integrate with an explicitly-set control vector (PID/combat path)."""
-        f = lambda s_, u_: nlplant_f16(self.weights, s_, u_)
-        s = integrate(f, state.s, u, self.dt, self.solver)
+        s = integrate(self.dynamics, state.s, u, self.dt, self.solver)
         return F16State(s=s, u=u, recent_s=state.s, recent_u=state.u)
 
     def extended_state(self, state: F16State) -> jnp.ndarray:
         """xdot at the current (s, u): compute ONCE per step and share."""
-        return nlplant_f16(self.weights, state.s, state.u)
+        return self.dynamics(state.s, state.u)
 
     # --- getters (pure; mirror the BaseModel interface, model_base.py:25-250) ---
     def get_position(self, st: F16State):

@@ -16,6 +16,8 @@ Control layout (F-16): 0 T lbf | 1 el deg | 2 ail deg | 3 rud deg | 4 lef deg
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from .aero import AeroWeights, aero_coeffs_t, IDX
@@ -35,36 +37,50 @@ JX = 9496.0
 R2D = 180.0 / jnp.pi
 
 
-def nlplant_core(sv, uv, get_coeff):
-    """Everything in nlplant except the surrogate matmuls, over generic
-    per-feature vectors - the single source of truth shared by the XLA path
-    (vectors are [n] column slices) and the fused Pallas kernel (vectors are
-    [T] lane rows of the tile block, ops/aero_pallas.py).
+class AirframeConst(NamedTuple):
+    """Mass/geometry/inertia of a rigid airframe (US units: slug, ft)."""
+    mass: float
+    s_area: float
+    b_span: float
+    cbar: float
+    jx: float
+    jy: float
+    jz: float
+    jxz: float
+    heng: float   # engine angular momentum (slug ft^2/s)
+
+
+F16_CONST = AirframeConst(mass=MASS, s_area=S_AREA, b_span=B_SPAN, cbar=CBAR,
+                          jx=JX, jy=JY, jz=JZ, jxz=JXZ, heng=HENG)
+
+
+def sixdof_eom(sv, T, qbar, coeffs, const: AirframeConst = F16_CONST):
+    """Navigation + wind-axis force + inertia-coupled moment equations for
+    any rigid airframe, given the TOTAL body-axis aero coefficients. The
+    airframe-independent back half of nlplant (`F16_dynamics.py:133-227`);
+    nlplant_core feeds it the F-16 surrogate build-up, nlplant_linear
+    (ops/linear_aero.py) a stability-derivative build-up.
 
     Args:
         sv: tuple of the 12 state vectors (layout in the module docstring).
-        uv: tuple of the 5 control vectors (T, el, ail, rud, lef).
-        get_coeff: name -> surrogate-output vector (AERO_NAMES entry).
+        T: thrust vector (lbf, along body x).
+        qbar: dynamic pressure vector (computed by the caller, which needs
+            it for the coefficient build-up too).
+        coeffs: (Cx, Cy, Cz, Cl, Cm, Cn) total body-axis coefficients.
+        const: airframe mass/geometry/inertia.
 
     Returns:
         list of the 12 state-derivative vectors.
     """
     _, _, alt, phi, theta, psi, vt_raw, alpha_r, beta_r, P, Q, R = sv
-    T, el, ail, rud, lef = uv
+    Cx_tot, Cy_tot, Cz_tot, Cl_tot, Cm_tot, Cn_tot = coeffs
     vt = jnp.maximum(vt_raw, 0.01)
-    beta_deg = beta_r * R2D
 
     sa, ca = jnp.sin(alpha_r), jnp.cos(alpha_r)
     sb, cb = jnp.sin(beta_r), jnp.cos(beta_r)
     st, ct, tt = jnp.sin(theta), jnp.cos(theta), jnp.tan(theta)
     sphi, cphi = jnp.sin(phi), jnp.cos(phi)
     spsi, cpsi = jnp.sin(psi), jnp.cos(psi)
-
-    dail = ail / 21.5
-    drud = rud / 30.0
-    dlef = 1.0 - lef / 25.0
-
-    _, qbar, _ = atmos(alt, vt)
 
     # Navigation equations (body->NED via wind-axis velocity components).
     U = vt * ca * cb
@@ -81,14 +97,9 @@ def nlplant_core(sv, uv, get_coeff):
     theta_dot = Q * cphi - R * sphi
     psi_dot = (Q * sphi + R * cphi) / ct
 
-    inv_2v = 1.0 / (2.0 * vt)
-    Cx_tot, Cy_tot, Cz_tot, Cl_tot, Cm_tot, Cn_tot = coeff_buildup(
-        get_coeff, dlef=dlef, dail=dail, drud=drud, P=P, Q=Q, R=R,
-        beta_deg=beta_deg, half_cbar_v=CBAR * inv_2v, half_b_v=B_SPAN * inv_2v)
-
     # Wind-axis force equations.
-    qS_m = qbar * S_AREA / MASS
-    Udot = R * V - Q * W - G * st + qS_m * Cx_tot + T / MASS
+    qS_m = qbar * const.s_area / const.mass
+    Udot = R * V - Q * W - G * st + qS_m * Cx_tot + T / const.mass
     Vdot = P * W - R * U + G * ct * sphi + qS_m * Cy_tot
     Wdot = Q * U - P * V + G * ct * cphi + qS_m * Cz_tot
     vt_dot = (U * Udot + V * Vdot + W * Wdot) / vt
@@ -96,20 +107,54 @@ def nlplant_core(sv, uv, get_coeff):
     beta_dot = (Vdot * vt - V * vt_dot) / (vt * vt * cb)
 
     # Moment equations with full inertia coupling.
-    L_tot = Cl_tot * qbar * S_AREA * B_SPAN
-    M_tot = Cm_tot * qbar * S_AREA * CBAR
-    N_tot = Cn_tot * qbar * S_AREA * B_SPAN
-    denom = JX * JZ - JXZ * JXZ
-    P_dot = (JZ * L_tot + JXZ * N_tot
-             - (JZ * (JZ - JY) + JXZ * JXZ) * Q * R
-             + JXZ * (JX - JY + JZ) * P * Q + JXZ * Q * HENG) / denom
-    Q_dot = (M_tot + (JZ - JX) * P * R - JXZ * (P * P - R * R) - R * HENG) / JY
-    R_dot = (JX * N_tot + JXZ * L_tot
-             + (JX * (JX - JY) + JXZ * JXZ) * P * Q
-             - JXZ * (JX - JY + JZ) * Q * R + JX * Q * HENG) / denom
+    jx, jy, jz, jxz, heng = const.jx, const.jy, const.jz, const.jxz, const.heng
+    L_tot = Cl_tot * qbar * const.s_area * const.b_span
+    M_tot = Cm_tot * qbar * const.s_area * const.cbar
+    N_tot = Cn_tot * qbar * const.s_area * const.b_span
+    denom = jx * jz - jxz * jxz
+    P_dot = (jz * L_tot + jxz * N_tot
+             - (jz * (jz - jy) + jxz * jxz) * Q * R
+             + jxz * (jx - jy + jz) * P * Q + jxz * Q * heng) / denom
+    Q_dot = (M_tot + (jz - jx) * P * R - jxz * (P * P - R * R) - R * heng) / jy
+    R_dot = (jx * N_tot + jxz * L_tot
+             + (jx * (jx - jy) + jxz * jxz) * P * Q
+             - jxz * (jx - jy + jz) * Q * R + jx * Q * heng) / denom
 
     return [npos_dot, epos_dot, alt_dot, phi_dot, theta_dot, psi_dot,
             vt_dot, alpha_dot, beta_dot, P_dot, Q_dot, R_dot]
+
+
+def nlplant_core(sv, uv, get_coeff):
+    """Everything in nlplant except the surrogate matmuls, over generic
+    per-feature vectors - the single source of truth shared by the XLA path
+    (vectors are [n] column slices) and the fused Pallas kernel (vectors are
+    [T] lane rows of the tile block, ops/aero_pallas.py).
+
+    Args:
+        sv: tuple of the 12 state vectors (layout in the module docstring).
+        uv: tuple of the 5 control vectors (T, el, ail, rud, lef).
+        get_coeff: name -> surrogate-output vector (AERO_NAMES entry).
+
+    Returns:
+        list of the 12 state-derivative vectors.
+    """
+    _, _, alt, _, _, _, vt_raw, _, beta_r, P, Q, R = sv
+    T, el, ail, rud, lef = uv
+    vt = jnp.maximum(vt_raw, 0.01)
+    beta_deg = beta_r * R2D
+
+    dail = ail / 21.5
+    drud = rud / 30.0
+    dlef = 1.0 - lef / 25.0
+
+    _, qbar, _ = atmos(alt, vt)
+
+    inv_2v = 1.0 / (2.0 * vt)
+    coeffs = coeff_buildup(
+        get_coeff, dlef=dlef, dail=dail, drud=drud, P=P, Q=Q, R=R,
+        beta_deg=beta_deg, half_cbar_v=CBAR * inv_2v, half_b_v=B_SPAN * inv_2v)
+
+    return sixdof_eom(sv, T, qbar, coeffs, F16_CONST)
 
 
 def nlplant_f16(w: AeroWeights, s: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

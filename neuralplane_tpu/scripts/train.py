@@ -42,7 +42,7 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["Control", "Planning", "SingleCombat",
                             "MultipleCombat"])
     p.add_argument("--scenario-name", default="heading")
-    p.add_argument("--model-name", default="F16", choices=["F16", "UAV"])
+    p.add_argument("--model-name", default="F16", choices=["F16", "UAV", "C172P"])
     # buffer
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--buffer-size", type=int, default=200)

@@ -91,3 +91,29 @@ def test_selfplay_sharded_collect(tmp_path):
     metrics = runner.train(batch)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_mappo_multiplecombat_sharded(tmp_path):
+    """nvn team combat + MAPPO centralized critic, data-parallel over the
+    mesh — the BASELINE.json "MultipleCombat nvn MAPPO sharded over >=2
+    hosts" configuration, exercised on the 8-virtual-device fake cluster."""
+    from neuralplane_tpu.envs import MultipleCombatEnv
+    from neuralplane_tpu.runner import MAPPOSelfplayRunner
+    mesh = make_mesh()
+    cfg = RLConfig(buffer_size=4, data_chunk_length=2, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(8,), act_hidden_sizes=(),
+                   recurrent_hidden_size=4, n_choose_opponents=1,
+                   save_interval=100)
+    env = MultipleCombatEnv(num_envs=4)  # 4 envs x 2v2 -> n=16, n_ego=8
+    runner = MAPPOSelfplayRunner(env, cfg, run_dir=str(tmp_path), mesh=mesh)
+    carry = shard_env_state(runner.init_carry(jax.random.PRNGKey(0)), mesh)
+    assert _sharded_on_dp(carry.env_state.model.s)
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    assert batch.share_obs.shape[-1] == 2 * env.num_observation
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # the centralized-critic params stay replicated after the sharded update
+    leaf = jax.tree_util.tree_leaves(runner.train_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
