@@ -1,0 +1,13 @@
+#!/bin/sh
+# 2v2 multi-agent combat with MAPPO (centralized critic) self-play.
+# The reference ships `--algorithm-name mappo` as a no-op string
+# (SURVEY.md A4m: runners hardcode algorithms.ppo); here it selects the
+# MAPPOSelfplayRunner + SharedReplayBuffer semantics for real.
+python -m neuralplane_tpu.scripts.train \
+    --env-name MultipleCombat --scenario-name multiple_selfplay \
+    --algorithm-name mappo --use-selfplay \
+    --selfplay-algorithm fsp --n-choose-opponents 1 \
+    --n-rollout-threads 500 --num-env-steps 1e9 \
+    --buffer-size 1000 --num-mini-batch 5 --ppo-epoch 16 \
+    --lr 3e-4 --gamma 0.99 --entropy-coef 1e-3 --max-grad-norm 2 \
+    --data-chunk-length 8 --log-interval 1 --save-interval 1
