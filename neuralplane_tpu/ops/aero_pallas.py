@@ -171,7 +171,7 @@ def aero_coeffs_pallas_t(gw: GroupedAeroWeights, alpha_deg, beta_deg, el_deg,
     """Fused aero query, coefficient-major: [K, n] rows in AERO_NAMES order."""
     n = alpha_deg.shape[0]
     x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=-1)  # [n, 3]
-    tile = min(tile, max(8, n))
+    tile = min(tile, n)  # tile == n when small: block equals the array dim (legal)
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
@@ -219,7 +219,7 @@ def aero_coeffs_pallas_ft(gw_t: GroupedAeroWeightsT, alpha_deg, beta_deg,
     dominated the row-major kernel's runtime)."""
     n = alpha_deg.shape[0]
     x = jnp.stack([alpha_deg, beta_deg, el_deg], axis=0)  # [3, n]
-    tile = min(tile, max(8, n))
+    tile = min(tile, n)  # tile == n when small: block equals the array dim (legal)
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
@@ -300,7 +300,7 @@ def aero_totals_pallas_ft(gw_t: GroupedAeroWeightsT, feats: jnp.ndarray,
     stack (alpha_deg, beta_deg, el_deg, dlef, dail, drud, P, Q, R,
     1/(2*vt)); returns [6, n] = (Cx, Cy, Cz, Cl, Cm, Cn) totals."""
     n = feats.shape[1]
-    tile = min(tile, max(8, n))
+    tile = min(tile, n)  # tile == n when small: block equals the array dim (legal)
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         feats = jnp.pad(feats, ((0, 0), (0, n_pad - n)))
@@ -421,7 +421,7 @@ def nlplant_pallas_ft(gw_t: GroupedAeroWeightsT, s: jnp.ndarray,
     to a tile multiple cost ~0.5 ms of pad/slice traffic at n=10^6."""
     n = s.shape[0]
     s_t, u_t = s.T, u.T
-    tile = min(tile, max(8, n))
+    tile = min(tile, n)  # tile == n when small: block equals the array dim (legal)
 
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
@@ -601,7 +601,7 @@ def nlplant_pallas_distilled(dw: DistilledAeroWeightsT, s: jnp.ndarray,
                              hidden_bf16: bool = True) -> jnp.ndarray:
     """Distilled-backend twin of nlplant_pallas_ft."""
     n = s.shape[0]
-    tile = min(tile or DISTILLED_TILE, max(8, n))
+    tile = min(tile or DISTILLED_TILE, n)  # tile == n when small: legal full-dim block
     H, F = dw.W1.shape
     out = pl.pallas_call(
         functools.partial(_xdot_kernel_distilled, hidden_bf16=hidden_bf16),
