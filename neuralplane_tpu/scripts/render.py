@@ -1,9 +1,12 @@
 """Render / evaluation CLI: deterministic rollouts -> ACMI + npy + metrics.
 
 Covers the reference's render scripts (SURVEY.md S2 S6):
-  --mode ppo     render_ppo.py        - trained policy on a control env
-  --mode pid     render_control.py    - PID/TECS/L1 controller instead
-  --mode combat  render_singlecombat.py - two policies 1v1, blood printout
+  --mode ppo      render_ppo.py        - trained policy on a control env
+  --mode pid      render_control.py    - PID/TECS/L1 controller instead
+  --mode combat   render_singlecombat.py - two policies 1v1, blood printout
+  --mode planning - hierarchical: high-level tracking policy + frozen
+                    low-level control actor (the reference has no planning
+                    render script; render_ppo.py only covers ControlEnv)
 
 Outputs: <out>/result/*.npy channel buffers, <out>/recording.txt.acmi,
 success-rate + evaluate_result metrics printed (render_ppo.py:188-191,
@@ -22,7 +25,7 @@ import numpy as np
 from ..algorithms.pid import Controller, flight_data
 from ..algorithms.ppo import PPOPolicy
 from ..algorithms.rl_config import RLConfig
-from ..envs import ControlEnv, SingleCombatEnv
+from ..envs import ControlEnv, PlanningEnv, SingleCombatEnv
 from ..render import ACMIWriter, TrajectoryRecorder, evaluate_metrics, \
     plot_result
 from ..utils.checkpoint import load_pytree
@@ -40,14 +43,30 @@ def _load_actor_params(policy: PPOPolicy, path: str) -> dict:
 
 
 def render_control(args) -> None:
-    env = ControlEnv(num_envs=args.num_envs, config=args.scenario)
+    planning = args.mode == "planning"
+    if planning:
+        low = None
+        if args.low_level_ckpt:
+            blob = load_pytree(args.low_level_ckpt)
+            if isinstance(blob, dict) and "train_state" in blob:
+                low = blob["train_state"].params["actor"]
+            elif isinstance(blob, dict) and "actor" in blob:
+                low = blob["actor"]
+            else:
+                low = blob
+        env = PlanningEnv(num_envs=args.num_envs, config=args.scenario,
+                          low_level_params=low)
+    else:
+        env = ControlEnv(num_envs=args.num_envs, config=args.scenario)
     cfg = RLConfig()
     policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
-    if args.mode == "ppo":
+    if args.mode in ("ppo", "planning"):
         params = (_load_actor_params(policy, args.checkpoint)
                   if args.checkpoint else
                   policy.init_params(jax.random.PRNGKey(0)))
     controller = Controller(dt=env.config.dt)
+    # one ACMI frame per env step: dt for control, dt*inner for planning
+    frame_dt = env.config.dt * (env.low_level_steps if planning else 1)
 
     state, obs = env.reset(jax.random.PRNGKey(args.seed))
     h, _ = policy.init_rnn_states(env.n)
@@ -62,10 +81,10 @@ def render_control(args) -> None:
         return policy.act(params, obs, h, masks, deterministic=True)
 
     @jax.jit
-    def channels(state, out):
+    def channels(estate, out):
         """All recorded channels + step stats in ONE program: a single
         device->host pull per frame (the tunnel round-trip dominates)."""
-        model, mstate = env.model, state.model
+        model, mstate = env.model, estate.model
         xdot = model.extended_state(mstate)
         npos, epos, altitude = model.get_position(mstate)
         roll, pitch, yaw = model.get_posture(mstate)
@@ -79,8 +98,8 @@ def render_control(args) -> None:
                    ail=ail, el=el, rud=rud)
         for name in ("target_altitude", "target_heading", "target_vt",
                      "target_pitch", "target_npos", "target_epos"):
-            if hasattr(state.task, name):
-                out_ch[name] = getattr(state.task, name)
+            if hasattr(estate.task, name):
+                out_ch[name] = getattr(estate.task, name)
         stats = (out.done.sum(), out.bad_done.sum(), out.reward.mean())
         return {k: v.mean() for k, v in out_ch.items()}, mstate.s[:, :6], stats
 
@@ -100,7 +119,7 @@ def render_control(args) -> None:
         return cst2, jnp.clip(controller.get_action(cst2), -1.0, 1.0)
 
     for count in range(args.steps):
-        if args.mode == "ppo":
+        if args.mode in ("ppo", "planning"):
             actions, h = ppo_act(params, obs, h, masks)
         else:  # pid: hold the task targets with the classical stack
             cst, actions = pid_act(cst, state)
@@ -112,12 +131,12 @@ def render_control(args) -> None:
         h = h * (1.0 - reset.astype(jnp.float32))[:, None, None]
 
         chans, pose, (n_done, n_bad, rew) = jax.device_get(
-            channels(state, out))
+            channels(state.env if planning else state, out))
         reached += int(n_done)
         failed += int(n_bad)
         episode_reward += float(rew)
         rec.record(**chans)
-        acmi.write_frame(count * env.config.dt, pose)
+        acmi.write_frame(count * frame_dt, pose)
 
     result_dir = os.path.join(args.out, "result")
     rec.save(result_dir)
@@ -162,12 +181,16 @@ def render_combat(args) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("neuralplane_tpu.render")
-    p.add_argument("--mode", default="ppo", choices=["ppo", "pid", "combat"])
+    p.add_argument("--mode", default="ppo",
+                   choices=["ppo", "pid", "combat", "planning"])
     p.add_argument("--scenario", default=None,
-                   help="defaults to 'heading' (ppo/pid) or 'selfplay' (combat)")
+                   help="defaults to 'heading' (ppo/pid), 'selfplay' (combat) "
+                   "or 'tracking' (planning)")
     p.add_argument("--checkpoint", default=None,
                    help="state_*.pkl or actor_*.pkl from a training run")
     p.add_argument("--opponent", default=None, help="combat: enemy actor ckpt")
+    p.add_argument("--low-level-ckpt", default=None,
+                   help="planning: trained control-task actor checkpoint")
     p.add_argument("--num-envs", type=int, default=1)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
@@ -180,7 +203,8 @@ def main(argv=None) -> None:
         args.scenario = args.scenario or "selfplay"
         render_combat(args)
     else:
-        args.scenario = args.scenario or "heading"
+        args.scenario = args.scenario or (
+            "tracking" if args.mode == "planning" else "heading")
         render_control(args)
 
 
