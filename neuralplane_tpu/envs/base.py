@@ -21,7 +21,8 @@ ends the episode, `exceed_time_limit` is truncation.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +64,10 @@ class Env:
             and type(weights).__name__ in ("GroupedAeroWeightsT",
                                            "DistilledAeroWeightsT")
             and getattr(self.task, "kernel_variant", None) is not None
-            and getattr(self.config, "fused_task_kernel", True)
+            and self.config.fused_task_kernel
+            # the fused step kernel integrates with Euler only
+            # (ops/step_pallas.py); rk4 scenarios take the XLA path
+            and self.config.solver == "euler"
             and self.config.reuse_step_xdot)
 
     # --- properties mirroring the reference env API ---
@@ -181,9 +185,8 @@ class Env:
         mask = state.is_done | state.bad_done | state.exceed_time_limit
         key, k_model, k_task = jax.random.split(state.key, 3)
         n = self.n
-        kernel_noise = (cfg.noise_scale > 0
-                        and getattr(cfg, "kernel_obs_noise", False))
-        kernel_draws = bool(getattr(cfg, "kernel_reset_draws", False))
+        kernel_noise = cfg.noise_scale > 0 and cfg.kernel_obs_noise
+        kernel_draws = cfg.kernel_reset_draws
         # key splits are identical on every path so streams stay in lockstep
         key, k_obs = jax.random.split(key)
         if kernel_draws:
@@ -215,7 +218,7 @@ class Env:
             # seed from k_task when it's otherwise unused (kernel_draws) so
             # k_obs stays free for the XLA noise fallback; k_obs otherwise
             k_seed = k_task if kernel_draws else k_obs
-            seed = jax.random.randint(k_seed, (1,), 0,
+            seed = jax.random.randint(k_seed, (2,), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
         fm = to_fm(state.model)  # no-op when already feature-major
@@ -251,10 +254,22 @@ class ControlEnv(Env):
     """Single-agent control env factory: model in {F16, UAV, C172P}, task in
     {heading, control, tracking} (parity: `envs/control_env.py:12-35`)."""
 
-    def __init__(self, num_envs: int = 10, config: str = "heading",
-                 model: str = "F16", aero_backend: str = "auto"):
-        # scenario files are named <task>[_<variant>].yaml (e.g.
-        # heading_c172p); the task is the leading token
-        task = config.split("_")[0] if isinstance(config, str) else "heading"
+    def __init__(self, num_envs: int = 10, config: str | EnvConfig = "heading",
+                 model: str = "F16", aero_backend: str = "auto",
+                 task: Optional[str] = None):
+        if task is None:
+            if not isinstance(config, str):
+                raise ValueError(
+                    "ControlEnv(config=<EnvConfig>) needs an explicit task=; "
+                    "the task can only be inferred from a scenario name")
+            # scenario files are named <task>[_<variant>].yaml (e.g.
+            # heading_c172p); the task is the leading token of the stem,
+            # also for path-style configs ('/tmp/control_lowalt.yaml')
+            stem = os.path.splitext(os.path.basename(config))[0]
+            task = stem.split("_")[0]
+        if task not in TASKS:
+            raise ValueError(f"cannot infer task from scenario {config!r} "
+                             f"(got {task!r}); pass task= explicitly, one of "
+                             f"{sorted(TASKS)}")
         super().__init__(num_envs, config=config, task=task, model=model,
                          aero_backend=aero_backend)

@@ -34,7 +34,7 @@ from flax import struct
 
 from ..algorithms.pid import Controller, ControllerState, flight_data
 from ..models.f16 import F16Model, THRUST_SCALE
-from ..ops.aero import load_aero_weights
+from ..ops.aero import load_aero_weights, select_aero_weights
 from ..utils.config import EnvConfig, load_config
 from ..utils.math import (PI, distance_fn, get2d_AO_TA_R, get_AO_TA_R,
                           orientation_fn, orientation_reward, range_reward,
@@ -62,13 +62,19 @@ class SingleCombatEnv:
 
     inner_steps = 5  # FDM steps per env step (singlecombat_env.py:244)
 
-    def __init__(self, num_envs: int = 1, config: str | EnvConfig = "selfplay"):
+    def __init__(self, num_envs: int = 1, config: str | EnvConfig = "selfplay",
+                 aero_backend: str = "auto"):
         self.config = config if isinstance(config, EnvConfig) else load_config(config)
         self.num_envs = num_envs
         self.num_agents = self.config.num_agents
         assert self.num_agents % 2 == 0, "combat needs an even team split"
         self.n = num_envs * self.num_agents
-        self.model = F16Model(self.config, load_aero_weights())
+        # same backend selection as Env: 'auto' picks the fused Pallas
+        # aero kernel (grouped/distilled) on TPU - the combat inner loop
+        # runs nlplant 5x per env step, so the backend choice dominates
+        self.model = F16Model(
+            self.config, select_aero_weights(load_aero_weights(),
+                                             aero_backend))
         self.controller = Controller(dt=self.config.dt)
         self.num_observation = self.config.num_observation  # 15
         self.num_actions = self.config.num_actions          # 4
@@ -154,13 +160,18 @@ class SingleCombatEnv:
         fn = get2d_AO_TA_R if planar else get_AO_TA_R
         m = self.num_agents
         is_ego = (jnp.arange(self.n) % m) < (m // 2)
-        # compute with ego-role arguments for every agent, then correct
         AO, TA, R, side = fn(pos, pos[opp], vel, vel[opp], return_side=True)
-        AO_e, TA_e, _, side_e = fn(pos[opp], pos, vel[opp], vel,
-                                   return_side=True)
-        AO = jnp.where(is_ego, AO, PI - TA_e)
-        TA = jnp.where(is_ego, TA, PI - AO_e)
-        side = jnp.where(is_ego, side, -side_e)
+        # Enemy rows take the reference's role-swapped convention
+        # (pi - TA_e, pi - AO_e, -side_e) — but because arccos(-x) =
+        # pi - arccos(x) and the swapped call negates every dot product,
+        # pi - TA_e == AO and pi - AO_e == TA identically; only the side
+        # flag truly depends on the role: sign(v_opp x dpos) instead of
+        # sign(v_ego x dpos). So one geometry pass + one cross product
+        # replaces the second full evaluation.
+        dpos = pos[opp] - pos
+        cross_z_opp = (vel[opp][:, 0] * dpos[:, 1]
+                       - vel[opp][:, 1] * dpos[:, 0])
+        side = jnp.where(is_ego, side, jnp.sign(cross_z_opp))
         return AO, TA, R, side
 
     def _obs(self, state: CombatState, xdot: jnp.ndarray) -> jnp.ndarray:

@@ -49,6 +49,35 @@ def add_sensor_noise(obs: jnp.ndarray, key: jax.Array, noise_scale: float) -> jn
     return obs + jax.random.normal(key, obs.shape, obs.dtype) * noise_scale
 
 
+def control_task_termination(cfg, model, mstate, xdot, step_count,
+                             unreach_name: str, unreach_cond):
+    """Shared termination combinator for the three control tasks: OR the
+    five safety conditions (task_base.py:75-96 composition) with the task's
+    unreach condition, accumulating per-condition on-device trigger counters
+    (replaces the reference's per-trigger host prints, SURVEY.md S5).
+    The (name, condition) order must match ops/task_pallas.COND_NAMES -
+    keeping it in ONE place is what guarantees the fused kernel's counter
+    rows and the XLA path stay aligned."""
+    from .. import terminations
+
+    conds = [
+        ("overload", terminations.overload(cfg, model, mstate, xdot)),
+        ("low_altitude", terminations.low_altitude(cfg, model, mstate)),
+        ("high_speed", terminations.high_speed(cfg, model, mstate)),
+        ("low_speed", terminations.low_speed(cfg, model, mstate)),
+        ("extreme_state", terminations.extreme_state(cfg, model, mstate)),
+        (unreach_name, unreach_cond),
+    ]
+    bad = jnp.zeros_like(step_count, dtype=bool)
+    done = jnp.zeros_like(bad)
+    exceed = jnp.zeros_like(bad)
+    info = {}
+    for name, (b, d, e) in conds:
+        bad, done, exceed = bad | b, done | d, exceed | e
+        info[f"termination/{name}"] = (b | d | e).sum()
+    return done, bad, exceed, info
+
+
 class BaseTask:
     """Config container + observation/action sizes (task_base.py:8-43)."""
 

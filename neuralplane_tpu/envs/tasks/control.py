@@ -9,7 +9,8 @@ from flax import struct
 
 from ...utils.math import wrap_PI
 from .. import rewards, terminations
-from .base import BaseTask, add_sensor_noise, vehicle_obs_tail
+from .base import (BaseTask, add_sensor_noise, control_task_termination,
+                   vehicle_obs_tail)
 
 FT = 0.3048
 
@@ -91,25 +92,9 @@ class ControlTask(BaseTask):
     def get_termination(self, model, mstate, xdot, step_count,
                         tstate: ControlTaskState):
         cfg = self.config
-        conds = [
-            terminations.overload(cfg, model, mstate, xdot),
-            terminations.low_altitude(cfg, model, mstate),
-            terminations.high_speed(cfg, model, mstate),
-            terminations.low_speed(cfg, model, mstate),
-            terminations.extreme_state(cfg, model, mstate),
+        return control_task_termination(
+            cfg, model, mstate, xdot, step_count, "unreach_posture",
             terminations.unreach_posture(cfg, model, mstate, step_count,
                                          tstate.target_pitch,
                                          tstate.target_heading,
-                                         tstate.target_vt),
-        ]
-        names = ("overload", "low_altitude", "high_speed", "low_speed", "extreme_state", "unreach_posture")
-        bad = jnp.zeros_like(step_count, dtype=bool)
-        done = jnp.zeros_like(bad)
-        exceed = jnp.zeros_like(bad)
-        info = {}
-        for name, (b, d, e) in zip(names, conds):
-            bad, done, exceed = bad | b, done | d, exceed | e
-            # on-device trigger counters (replaces the reference's per-trigger
-            # host prints, SURVEY.md S5 conditional-logging note)
-            info[f"termination/{name}"] = (b | d | e).sum()
-        return done, bad, exceed, info
+                                         tstate.target_vt))

@@ -14,7 +14,8 @@ from flax import struct
 
 from ...utils.math import wrap_PI
 from .. import rewards, terminations
-from .base import BaseTask, add_sensor_noise, vehicle_obs_tail
+from .base import (BaseTask, add_sensor_noise, control_task_termination,
+                   vehicle_obs_tail)
 
 FT = 0.3048
 
@@ -117,25 +118,9 @@ class HeadingTask(BaseTask):
         """OR of [Overload, LowAltitude, HighSpeed, LowSpeed, ExtremeState,
         UnreachHeading] (heading_task.py:39-47; Timeout commented out there)."""
         cfg = self.config
-        conds = [
-            terminations.overload(cfg, model, mstate, xdot),
-            terminations.low_altitude(cfg, model, mstate),
-            terminations.high_speed(cfg, model, mstate),
-            terminations.low_speed(cfg, model, mstate),
-            terminations.extreme_state(cfg, model, mstate),
+        return control_task_termination(
+            cfg, model, mstate, xdot, step_count, "unreach_heading",
             terminations.unreach_heading(cfg, model, mstate, step_count,
                                          tstate.target_altitude,
                                          tstate.target_heading,
-                                         tstate.target_vt),
-        ]
-        names = ("overload", "low_altitude", "high_speed", "low_speed", "extreme_state", "unreach_heading")
-        bad = jnp.zeros_like(step_count, dtype=bool)
-        done = jnp.zeros_like(bad)
-        exceed = jnp.zeros_like(bad)
-        info = {}
-        for name, (b, d, e) in zip(names, conds):
-            bad, done, exceed = bad | b, done | d, exceed | e
-            # on-device trigger counters (replaces the reference's per-trigger
-            # host prints, SURVEY.md S5 conditional-logging note)
-            info[f"termination/{name}"] = (b | d | e).sum()
-        return done, bad, exceed, info
+                                         tstate.target_vt))

@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from .. import rewards, terminations
-from .base import BaseTask, add_sensor_noise, vehicle_obs_tail
+from .base import (BaseTask, add_sensor_noise, control_task_termination,
+                   vehicle_obs_tail)
 
 FT = 0.3048
 
@@ -98,25 +99,9 @@ class TrackingTask(BaseTask):
     def get_termination(self, model, mstate, xdot, step_count,
                         tstate: TrackingTaskState):
         cfg = self.config
-        conds = [
-            terminations.overload(cfg, model, mstate, xdot),
-            terminations.low_altitude(cfg, model, mstate),
-            terminations.high_speed(cfg, model, mstate),
-            terminations.low_speed(cfg, model, mstate),
-            terminations.extreme_state(cfg, model, mstate),
+        return control_task_termination(
+            cfg, model, mstate, xdot, step_count, "unreach_target",
             terminations.unreach_target(cfg, model, mstate, step_count,
                                         tstate.target_npos,
                                         tstate.target_epos,
-                                        tstate.target_altitude),
-        ]
-        names = ("overload", "low_altitude", "high_speed", "low_speed", "extreme_state", "unreach_target")
-        bad = jnp.zeros_like(step_count, dtype=bool)
-        done = jnp.zeros_like(bad)
-        exceed = jnp.zeros_like(bad)
-        info = {}
-        for name, (b, d, e) in zip(names, conds):
-            bad, done, exceed = bad | b, done | d, exceed | e
-            # on-device trigger counters (replaces the reference's per-trigger
-            # host prints, SURVEY.md S5 conditional-logging note)
-            info[f"termination/{name}"] = (b | d | e).sum()
-        return done, bad, exceed, info
+                                        tstate.target_altitude))

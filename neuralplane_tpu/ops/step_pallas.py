@@ -147,7 +147,12 @@ def _step_kernel(s_ref, u_ref, act_ref, msk_ref, *rest,
     rest = rest[4:]
     if noise_scale > 0.0 or reset_draws:
         seed_ref, rest = rest[0], rest[1:]
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # two seed words (Mosaic's prng_set_seed_32 limit), ~2^62 distinct
+        # streams: two 31-bit host draws, tile id folded into the second.
+        # A single word + tile id would birthday-collide across
+        # (step, tile) pairs over long runs (~1.2e8 streams drawn from
+        # 2^31 at n=10^6), replaying a tile's noise/reset draws.
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
     w_refs = rest[:8]
     outs = rest[8:]
     (s_out, u_out, obs_ref, done_ref, bad_ref, rew_ref,
@@ -245,7 +250,8 @@ def env_step_pallas(variant: str, cfg, gw_t: GroupedAeroWeightsT,
     `where(mask, 0, sc) + 1`). Returns (sf' [16,n], uf' [8,n], obs [n,22],
     done bool[n], bad bool[n], reward f32[n], counts f32[6]).
 
-    With noise_seed (int32 [1]) + noise_scale > 0, sensor noise is drawn
+    With noise_seed (int32 [2], two independent seed words) + noise_scale
+    > 0, sensor noise is drawn
     in-kernel from the TPU hardware PRNG (_obs_noise_rows; NOT available in
     interpret mode) and the returned obs is already noisy; otherwise obs is
     noiseless and the caller adds XLA noise (tasks/base.add_sensor_noise).

@@ -242,7 +242,7 @@ def task_step_pallas(variant: str, cfg, s: jnp.ndarray, u: jnp.ndarray,
     bad bool[n], reward f32[n], counts f32[6]) - counts in COND_NAMES
     order for the variant."""
     n = s.shape[0]
-    tile = min(tile, max(8, n))
+    tile = min(tile, n)  # tile == n when small: block equals the array dim (legal)
     grid = -(-n // tile)
 
     # no host-side padding: Mosaic masks the trailing partial block, and
