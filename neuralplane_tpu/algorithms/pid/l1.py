@@ -98,7 +98,9 @@ def l1_update_waypoint(cfg: L1Config, st: L1State, prev_WP: jnp.ndarray,
 
     m1 = (WP_A_dist > L1_dist) & (
         alongTrackDist / jnp.maximum(WP_A_dist, 1.0) < -0.7071)
-    A_unit = A_air / _length(A_air)[:, None]
+    # guard the unit vector: current_loc == prev_WP gives 0/0 = NaN, and
+    # NaN survives the masked mix below (NaN * False-mask = NaN)
+    A_unit = A_air / jnp.maximum(_length(A_air), 1e-9)[:, None]
     Nu_a = jnp.arctan2(_cross(ground_speed, -A_unit),
                        _dot(ground_speed, -A_unit))
     nav_a = jnp.arctan2(-A_unit[:, 1], -A_unit[:, 0])
@@ -106,7 +108,7 @@ def l1_update_waypoint(cfg: L1Config, st: L1State, prev_WP: jnp.ndarray,
     seg_len = _length(next_WP - prev_WP)
     m2 = (~m1) & (alongTrackDist > seg_len + gs * 3)
     B_air = current_loc - next_WP
-    B_unit = B_air / _length(B_air)[:, None]
+    B_unit = B_air / jnp.maximum(_length(B_air), 1e-9)[:, None]
     Nu_b = jnp.arctan2(_cross(ground_speed, -B_unit),
                        _dot(ground_speed, -B_unit))
     nav_b = jnp.arctan2(-B_unit[:, 1], -B_unit[:, 0])

@@ -45,6 +45,13 @@ def pid_update_all(g: PIDGains, st: PIDState, target: jnp.ndarray,
     derivative = jnp.where(st.initialized, (error - st.error) / g.dt, 0.0)
 
     if g.Ki != 0.0 and g.dt > 0.0:
+        # bit-parity with the reference's anti-windup (`pid.py:38`):
+        # `~limit | (error*dt < 0)` == `~limit | (error < 0)`. NOTE this is
+        # one-sided - at the NEGATIVE output limit a negative error still
+        # winds deeper while a recovering positive error is blocked (true
+        # anti-windup would compare sign(error) against the ACTIVE limit
+        # direction). Preserved as-is: the shipped gains (config.py) were
+        # tuned against this behavior and the combat stabilizer inherits it.
         grow = (~limit_I) | (error * g.dt < 0.0)
         integrator = st.integrator + error * g.Ki * g.dt * grow
         integrator = jnp.clip(integrator, -g.Kimax, g.Kimax)

@@ -40,11 +40,19 @@ def elo_update(ego_elo: float, opponent_elo: np.ndarray,
 
     Returns (new_ego_elo, new_opponent_elos). Reward diff > tie_band -> the
     opponent won; |diff| < tie_band -> tie.
+
+    Fixed reference defect: the reference pairs ego's EXPECTED score with
+    the OPPONENT's actual score (`elo_gain = 32*(actual_opp -
+    expected_ego)`, ego -= gain, `selfplay_F16sim_runner.py:229-233`),
+    which overpays expected wins by ~K and near-ignores upsets, inflating
+    ratings instead of converging. Standard ELO: each side's update uses
+    its OWN expected and actual scores; the exchange is zero-sum.
     """
     opponent_elo = np.asarray(opponent_elo, dtype=np.float64)
-    expected = 1.0 / (1.0 + 10.0 ** ((opponent_elo - ego_elo) / 400.0))
+    expected_ego = 1.0 / (1.0 + 10.0 ** ((opponent_elo - ego_elo) / 400.0))
     diff = np.asarray(opponent_rewards) - np.asarray(ego_rewards)
-    actual = np.where(diff > tie_band, 1.0,
-                      np.where(np.abs(diff) < tie_band, 0.5, 0.0))
-    gain = k_factor * (actual - expected)
-    return float((ego_elo - gain).mean()), opponent_elo + gain
+    # ego's actual score: opponent-won -> 0, tie -> 0.5, ego-won -> 1
+    s_ego = np.where(diff > tie_band, 0.0,
+                     np.where(np.abs(diff) < tie_band, 0.5, 1.0))
+    gain = k_factor * (s_ego - expected_ego)
+    return float((ego_elo + gain).mean()), opponent_elo - gain

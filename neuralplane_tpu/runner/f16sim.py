@@ -209,22 +209,30 @@ class F16SimRunner(Runner):
         h_a, _ = self.policy.init_rnn_states(env.n)
         masks = jnp.ones((env.n, 1), jnp.float32)
 
-        @jax.jit
-        def step_fn(carry, _):
-            state, obs, h_a, masks, total_rew, total_done = carry
-            actions, h_a = self.policy.act(self.train_state.params, obs, h_a,
-                                           masks, deterministic=True)
-            state, out = env.step(state, actions)
-            reset = out.done | out.bad_done | out.exceed_time_limit
-            masks = 1.0 - out.done.astype(jnp.float32)[:, None]
-            h_a = h_a * (1.0 - reset.astype(jnp.float32))[:, None, None]
-            total_rew = total_rew + out.reward.sum()
-            total_done = total_done + reset.sum()
-            return (state, out.obs, h_a, masks, total_rew, total_done), None
+        # params is an ARGUMENT (not a closure): a fresh closure per eval()
+        # would miss jit's cache and recompile the whole rollout - with
+        # params constant-folded into the executable - every eval_interval
+        if not hasattr(self, "_eval_rollout"):
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def rollout(params, init, steps):
+                def step_fn(carry, _):
+                    state, obs, h_a, masks, total_rew, total_done = carry
+                    actions, h_a = self.policy.act(params, obs, h_a, masks,
+                                                   deterministic=True)
+                    state, out = env.step(state, actions)
+                    reset = out.done | out.bad_done | out.exceed_time_limit
+                    masks = 1.0 - out.done.astype(jnp.float32)[:, None]
+                    h_a = h_a * (1.0 - reset.astype(jnp.float32))[:, None, None]
+                    total_rew = total_rew + out.reward.sum()
+                    total_done = total_done + reset.sum()
+                    return (state, out.obs, h_a, masks, total_rew,
+                            total_done), None
+                return jax.lax.scan(step_fn, init, None, length=steps)
+            self._eval_rollout = rollout
 
         init = (state, obs, h_a, masks, jnp.zeros(()), jnp.zeros((), jnp.int32))
-        (state, obs, h_a, masks, total_rew, total_done), _ = jax.lax.scan(
-            step_fn, init, None, length=steps)
+        (state, obs, h_a, masks, total_rew, total_done), _ = \
+            self._eval_rollout(self.train_state.params, init, steps=steps)
         episodes = jnp.maximum(total_done, 1)
         return {"eval_average_episode_rewards":
                 float(total_rew / episodes)}

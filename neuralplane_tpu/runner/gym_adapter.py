@@ -112,7 +112,11 @@ class GymRunner(Runner):
                         np.asarray(actions[i]))
                     buf["rewards"][t, i, 0] = r
                     masks[i, 0] = 0.0 if (done or trunc) else 1.0
-                    bad_masks[i, 0] = 0.0 if done else 1.0
+                    # proper-time-limits convention (buffer.compute_returns):
+                    # bad_masks=0 marks a TIME-LIMIT end whose return is
+                    # replaced by V(s); a true terminal keeps bad_masks=1
+                    # so its reward signal survives
+                    bad_masks[i, 0] = 0.0 if (trunc and not done) else 1.0
                     if done or trunc:
                         o = adapter.reset()
                         h_a = h_a.at[i].set(0.0)
@@ -141,8 +145,9 @@ class GymRunner(Runner):
 
             total = (episode + 1) * T * n
             if episode % cfg.log_interval == 0:
-                ends = float((buf["masks"][1:] == 0).sum()
-                             + (buf["bad_masks"][1:] == 0).sum())
+                # every episode end (terminal or truncation) zeroes masks;
+                # bad_masks is a subset (truncations), so masks alone counts
+                ends = float((buf["masks"][1:] == 0).sum())
                 train_infos["average_episode_rewards"] = float(
                     buf["rewards"].sum() / max(ends, 1.0))
                 train_infos["fps"] = int(total / (time.time() - start))

@@ -28,6 +28,11 @@ class MAPPOSelfplayRunner(SelfplayRunner):
                              env.num_observation * half, env.num_actions)
         return policy, MAPPOTrainer(cfg, policy)
 
+    def init_carry(self, key: jax.Array) -> SelfplayCarry:
+        carry = super().init_carry(key)
+        return carry.replace(active_masks=jnp.ones((self.n_ego, 1),
+                                                   jnp.float32))
+
     def _share_obs(self, ego_obs: jnp.ndarray) -> jnp.ndarray:
         """Concat the ego team's obs per env, tiled back per agent."""
         g = ego_obs.reshape(self.num_envs, self.half, -1)
@@ -72,19 +77,24 @@ class MAPPOSelfplayRunner(SelfplayRunner):
         ego_obs, opp_obs = self._split(out.obs)
         ego_rew, opp_rew = self._split(out.reward[:, None])
         ego_done, _ = self._split((out.done | out.bad_done)[:, None])
-        # per-AGENT liveness (SharedReplayBuffer active_masks semantics)
-        active = 1.0 - ego_done.astype(jnp.float32)
+        # per-AGENT liveness at the NEXT obs; recorded one step later like
+        # masks (SharedReplayBuffer: active_masks[t] = alive when ACTING at
+        # step t, i.e. 1 - done_{t-1} - the trainer weights step-t entropy/
+        # logp by it, so storing this step's done at index t would zero the
+        # terminal action and leave the boundary action weighted)
+        next_active = 1.0 - ego_done.astype(jnp.float32)
         step_data = dict(
             obs=carry.ego_obs, share_obs=cent_obs, actions=actions,
             rewards=ego_rew, opp_rewards=opp_rew, masks=carry.ego_masks,
-            bad_masks=carry.bad_masks, active_masks=active,
+            bad_masks=carry.bad_masks, active_masks=carry.active_masks,
             action_log_probs=logp, value_preds=values,
             done_count=out.done.sum() + out.bad_done.sum(),
         )
         new_carry = SelfplayCarry(
             env_state=env_state, ego_obs=ego_obs, opp_obs=opp_obs,
             h_actor=h_a, h_critic=h_c, h_opp=h_opp, ego_masks=next_masks,
-            opp_masks=next_masks, bad_masks=next_bad, key=key)
+            opp_masks=next_masks, bad_masks=next_bad, key=key,
+            active_masks=next_active)
         return new_carry, step_data
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -110,7 +120,6 @@ class MAPPOSelfplayRunner(SelfplayRunner):
         cent = self._share_obs(carry.ego_obs)
         bootstrap = self.policy.get_values(params, cent, carry.h_critic,
                                            carry.ego_masks)
-        ones = jnp.ones((1, self.n_ego, 1), jnp.float32)
         batch = SharedRolloutBatch(
             obs=jnp.concatenate([steps["obs"], carry.ego_obs[None]], axis=0),
             share_obs=jnp.concatenate([steps["share_obs"], cent[None]],
@@ -120,8 +129,8 @@ class MAPPOSelfplayRunner(SelfplayRunner):
                                   axis=0),
             bad_masks=jnp.concatenate([steps["bad_masks"],
                                        carry.bad_masks[None]], axis=0),
-            active_masks=jnp.concatenate([steps["active_masks"], ones],
-                                         axis=0),
+            active_masks=jnp.concatenate(
+                [steps["active_masks"], carry.active_masks[None]], axis=0),
             action_log_probs=steps["action_log_probs"],
             value_preds=jnp.concatenate([steps["value_preds"],
                                          bootstrap[None]], axis=0),

@@ -44,6 +44,9 @@ class SelfplayCarry:
     opp_masks: jnp.ndarray     # [n_opp, 1]
     bad_masks: jnp.ndarray     # [n_ego, 1]
     key: jax.Array
+    # per-agent liveness AT the upcoming obs (MAPPO SharedReplayBuffer
+    # active_masks semantics); None for the plain PPO selfplay runner
+    active_masks: Optional[jnp.ndarray] = None
 
 
 class SelfplayRunner(Runner):
@@ -217,8 +220,11 @@ class SelfplayRunner(Runner):
 
     # ---- evaluation vs pool + ELO (reference :133-241) ----
     def eval_elo(self, num_steps: Optional[int] = None) -> Dict[str, float]:
-        env = self.eval_env if self.eval_env is not None else self.env
-        steps = num_steps or env.config.max_steps
+        # ELO matches play on the TRAINING env: the split/slice helpers and
+        # carry shapes are sized to self.env, so a differently-shaped
+        # eval_env cannot be honored here (it previously supplied only its
+        # max_steps while reset/step silently ran self.env)
+        steps = num_steps or self.env.config.max_steps
         names = [choose_opponent(self.cfg.selfplay_algorithm,
                                  self.policy_pool, self.rng)
                  for _ in range(self.num_opponents)]
@@ -313,4 +319,10 @@ class SelfplayRunner(Runner):
             if episode % cfg.save_interval == 0 or episode == episodes - 1:
                 self.save("latest")
                 self._save_pool_entry(str(episode + 1))
+                # re-sample training opponents from the grown pool. Fixed
+                # reference defect: the reference only calls reset_opponent
+                # at the END of eval() (selfplay_F16sim_runner.py:246), so
+                # without --use-eval it self-plays the initial random
+                # policy forever; here the pool is live regardless of eval.
+                self.reset_opponent()
         return train_infos

@@ -16,10 +16,16 @@ import jax
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Atomic write (tmp + rename): the kill-and-restart recovery for
+    stalled TPU runs (CLAUDE.md) depends on state_latest.pkl never being a
+    half-written pickle, even if the kill lands mid-save."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     host_tree = jax.device_get(tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(host_tree, f)
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str) -> Any:

@@ -114,9 +114,14 @@ def range_reward(target_dist, R, version: str = "v3"):
 
 
 def orientation_fn(AO):
-    """Blood-damage orientation factor: 1 at nose-on, linear to 0 at +/-30 deg."""
+    """Blood-damage orientation factor: 1 at nose-on, linear to 0 at +/-30 deg.
+
+    Fixed reference defect: the reference's two branch masks both include
+    AO == 0 (`envs/utils/utils.py:235-243`), so exact nose-on (reachable -
+    arccos(clip(x,-1,1)) returns 0.0 whenever the clip saturates) doubles
+    the damage to 2.0. The negative branch here is exclusive."""
     in_pos = (AO >= 0.0) & (AO <= PI / 6.0)
-    in_neg = (AO <= 0.0) & (AO >= -PI / 6.0)
+    in_neg = (AO < 0.0) & (AO >= -PI / 6.0)
     return (1.0 - 6.0 * AO / PI) * in_pos + (1.0 + 6.0 * AO / PI) * in_neg
 
 

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neuralplane_tpu.algorithms.rl_config import RLConfig
 from neuralplane_tpu.algorithms.selfplay import choose_opponent, elo_update
@@ -64,6 +65,17 @@ def test_selfplay_algorithms():
     ego, opp = elo_update(1000.0, np.array([1000.0]), np.array([500.0]),
                           np.array([100.0]))
     assert ego > 1000.0 and opp[0] < 1000.0  # ego won -> gains ELO
+    assert ego - 1000.0 == pytest.approx(1000.0 - opp[0])  # zero-sum
+
+    # standard-ELO asymmetry (the reference formula inverts this,
+    # selfplay_F16sim_runner.py:229-233): a favorite's expected win pays
+    # little; the same favorite LOSING an upset costs a lot
+    fav_win, _ = elo_update(1400.0, np.array([1000.0]),
+                            np.array([500.0]), np.array([100.0]))
+    fav_lose, _ = elo_update(1400.0, np.array([1000.0]),
+                             np.array([100.0]), np.array([500.0]))
+    assert 0.0 < fav_win - 1400.0 < 5.0       # ~ +2.9
+    assert -32.0 < fav_lose - 1400.0 < -25.0  # ~ -29
 
 
 def test_selfplay_runner_collect_train(tmp_path):
