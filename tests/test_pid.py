@@ -114,3 +114,37 @@ def test_controller_reset_masks_rows():
     out = ctl.reset(cst, mask)
     np.testing.assert_allclose(np.asarray(out.roll_dem), [0.0, 1.0, 0.0])
     np.testing.assert_allclose(np.asarray(out.el), [0.0, 5.0, 0.0])
+
+
+def test_speed_controller_throttle_and_antiwindup():
+    """C8 (SpeedController) behavioral contract: PID on longitudinal-accel
+    error with the speedcontroller.yaml gains, output saturated to +-100%
+    throttle with the integrator anti-windup latched on saturation
+    (the reference's intent at `algorithms/pid/speedController.py:10-45`;
+    its `rate_pid` bit-rot is fixed here, SURVEY S7 defect list)."""
+    from neuralplane_tpu.algorithms.pid import (SpeedControllerConfig,
+                                                speed_init,
+                                                speed_throttle_out)
+    cfg = SpeedControllerConfig()
+    st = speed_init(2)
+
+    # Step response: +10 ft/s^2 demand from rest -> positive throttle,
+    # proportional path alone contributes Kp*e = 50%.
+    st, out = speed_throttle_out(cfg, st, jnp.array([10.0, 0.0]),
+                                 jnp.zeros(2))
+    assert float(out[0]) > 40.0 and abs(float(out[1])) < 1e-6
+    # output is clamped to +-100 even when the raw PID overshoots
+    for _ in range(50):
+        st, out = speed_throttle_out(cfg, st, jnp.array([10.0, 0.0]),
+                                     jnp.zeros(2))
+    assert float(out[0]) == 100.0
+    assert float(jnp.abs(out).max()) <= 100.0
+
+    # Anti-windup: once saturated (|last_out| >= limit), the integrator of
+    # the still-positive-error row must stop winding up.
+    i_before = float(st.pid.integrator[0])
+    st, _ = speed_throttle_out(cfg, st, jnp.array([10.0, 0.0]), jnp.zeros(2))
+    i_after = float(st.pid.integrator[0])
+    assert i_after <= i_before + 1e-6
+    # zero-error row stays identically zero
+    assert abs(float(st.pid.integrator[1])) < 1e-9
