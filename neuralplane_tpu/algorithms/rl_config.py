@@ -58,6 +58,13 @@ class RLConfig:
     selfplay_algorithm: str = "sp"         # sp | fsp | pfsp
     n_choose_opponents: int = 1
     init_elo: float = 1000.0
+    # Win/tie band on the PER-EPISODE average reward diff in ELO eval.
+    # The reference hardcodes 100 (`selfplay_F16sim_runner.py:225-228`) -
+    # but its combat reward is posture-only (<=0.01*2/step, so an episode
+    # average can never reach 100): every reference eval is a forced tie
+    # and its ladder can never leave init_elo. Keep the band configurable
+    # and calibrate it to the reward scale (combat scripts use ~1.0).
+    elo_tie_band: float = 100.0
 
     # save / log / eval / render (config.py:235-285)
     save_interval: int = 1

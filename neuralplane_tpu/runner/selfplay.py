@@ -233,7 +233,10 @@ class SelfplayRunner(Runner):
 
         @jax.jit
         def run(params, opp_params, carry):
-            def body(c, _):
+            zero = jnp.zeros((self.n_ego, 1), jnp.float32)
+
+            def body(state, _):
+                c, cum_ego, cum_opp = state
                 # deterministic play for both sides, matching the
                 # reference's eval (:168-178 act(..., deterministic=True))
                 a_ego, h_a = self.policy.act(params, c.ego_obs, c.h_actor,
@@ -261,25 +264,40 @@ class SelfplayRunner(Runner):
                 keep = (1.0 - reset_env.astype(jnp.float32))[:, :, None]
                 ego_obs, opp_obs = self._split(out.obs)
                 ego_rew, opp_rew = self._split(out.reward[:, None])
+                # per-EPISODE cumulative rewards, emitted when the env
+                # group resets (reference :197-216: cumulative_rewards
+                # appended at reset_env and zeroed)
+                reset = reset_env.astype(jnp.float32)
+                cum_ego = cum_ego + ego_rew
+                cum_opp = cum_opp + opp_rew
+                emit = (cum_ego * reset, cum_opp * reset, reset)
+                cum_ego = cum_ego * (1.0 - reset)
+                cum_opp = cum_opp * (1.0 - reset)
                 c = c.replace(env_state=env_state, ego_obs=ego_obs,
                               opp_obs=opp_obs, h_actor=h_a * keep,
                               h_opp=h_opp.reshape(c.h_opp.shape) * keep,
                               ego_masks=masks, opp_masks=masks,
                               bad_masks=bad_masks)
-                return c, (ego_rew, opp_rew, masks, bad_masks)
-            c, (rew, orew, masks, bads) = jax.lax.scan(body, carry, None,
-                                                       length=steps)
-            ends = ((masks == 0).sum() + (bads == 0).sum())
-            # cumulative ego/opponent reward per pool slice
-            ego = self._opp_slices(rew.sum(0)).sum(axis=(1, 2))
-            opp = self._opp_slices(orew.sum(0)).sum(axis=(1, 2))
-            return ego, opp, ends
+                return (c, cum_ego, cum_opp), emit
+            (c, _, _), (e_ego, e_opp, resets) = jax.lax.scan(
+                body, (carry, zero, zero), None, length=steps)
+            # average episode reward per pool slice over COMPLETED episodes
+            # (reference :211-216: mean over the team's agents then over
+            # episodes; summing emitted values and dividing by per-agent
+            # reset counts is identical because resets are env-level and
+            # broadcast over the half agents, so the /half cancels)
+            ends = self._opp_slices(resets.sum(0)).sum(axis=(1, 2))
+            denom = jnp.maximum(ends, 1.0)
+            ego = self._opp_slices(e_ego.sum(0)).sum(axis=(1, 2)) / denom
+            opp = self._opp_slices(e_opp.sum(0)).sum(axis=(1, 2)) / denom
+            return ego, opp, ends.sum() / self.half
         ego_rew, opp_rew, ends = run(self.train_state.params, opp_params,
                                      carry)
         ego_rew, opp_rew = np.asarray(ego_rew), np.asarray(opp_rew)
         opp_elo = np.array([self.policy_pool[n] for n in names])
         self.latest_elo, new_opp = elo_update(self.latest_elo, opp_elo,
-                                              ego_rew, opp_rew)
+                                              ego_rew, opp_rew,
+                                              tie_band=self.cfg.elo_tie_band)
         for n, e in zip(names, new_opp):
             self.policy_pool[n] = float(e)
         self.reset_opponent()

@@ -78,6 +78,10 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["sp", "fsp", "pfsp"])
     p.add_argument("--n-choose-opponents", type=int, default=1)
     p.add_argument("--init-elo", type=float, default=1000.0)
+    p.add_argument("--elo-tie-band", type=float, default=100.0,
+                   help="per-episode avg reward diff below which an ELO "
+                   "eval match is a tie (reference constant 100; combat "
+                   "posture rewards need ~1.0)")
     # save / log / eval
     p.add_argument("--save-interval", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=5)
@@ -125,6 +129,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         selfplay_algorithm=args.selfplay_algorithm,
         n_choose_opponents=args.n_choose_opponents,
         init_elo=args.init_elo,
+        elo_tie_band=args.elo_tie_band,
         save_interval=args.save_interval, log_interval=args.log_interval,
         use_eval=args.use_eval,
         n_eval_rollout_threads=args.n_eval_rollout_threads,

@@ -101,3 +101,36 @@ def test_selfplay_runner_collect_train(tmp_path):
 
     out = runner.eval_elo(num_steps=8)
     assert np.isfinite(out["latest_elo"])
+
+
+def test_eval_elo_per_episode_protocol(tmp_path, monkeypatch):
+    """ELO eval compares PER-EPISODE average rewards over completed
+    episodes (reference `selfplay_F16sim_runner.py:197-228`), not slice
+    sums: with a horizon too short for any episode to complete, the match
+    must score as a tie (rating unchanged) rather than comparing partial
+    cumulative sums."""
+    import neuralplane_tpu.runner.selfplay as rsp
+    captured = {}
+    orig = rsp.elo_update
+
+    def spy(ego_elo, opp_elo, ego_rew, opp_rew, **kw):
+        captured.update(ego=np.asarray(ego_rew), opp=np.asarray(opp_rew),
+                        kw=kw)
+        return orig(ego_elo, opp_elo, ego_rew, opp_rew, **kw)
+    monkeypatch.setattr(rsp, "elo_update", spy)
+
+    cfg = RLConfig(buffer_size=8, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1, num_env_steps=8,
+                   save_interval=100, log_interval=1, elo_tie_band=1.0)
+    env = SingleCombatEnv(num_envs=4)
+    runner = SelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    out = runner.eval_elo(num_steps=4)
+    # 4 steps: no combat episode can complete -> zero episodes, zero
+    # per-episode averages, tie, rating unchanged
+    assert out["eval_episodes_ended"] == 0.0
+    assert captured["ego"] == pytest.approx(0.0)
+    assert captured["opp"] == pytest.approx(0.0)
+    assert captured["kw"]["tie_band"] == 1.0
+    assert out["latest_elo"] == 1000.0
