@@ -25,7 +25,8 @@ import numpy as np
 from ..algorithms.pid import Controller, flight_data
 from ..algorithms.ppo import PPOPolicy
 from ..algorithms.rl_config import RLConfig
-from ..envs import ControlEnv, PlanningEnv, SingleCombatEnv
+from ..envs import (ControlEnv, MultipleCombatEnv, PlanningEnv,
+                    SingleCombatEnv)
 from ..render import ACMIWriter, TrajectoryRecorder, evaluate_metrics, \
     plot_result
 from ..utils.checkpoint import load_pytree
@@ -152,7 +153,13 @@ def render_control(args) -> None:
 
 
 def render_combat(args) -> None:
-    env = SingleCombatEnv(num_envs=1, config=args.scenario)
+    # team scenarios (e.g. multiple_selfplay 2v2) use the nvn env; the
+    # reference's render_singlecombat is 1v1-only - team render is a
+    # framework addition on top of it
+    env_cls = (MultipleCombatEnv if "multiple" in args.scenario
+               else SingleCombatEnv)
+    env = env_cls(num_envs=1, config=args.scenario)
+    half = env.num_agents // 2
     cfg = RLConfig()
     policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
     ego = (_load_actor_params(policy, args.checkpoint) if args.checkpoint
@@ -160,19 +167,20 @@ def render_combat(args) -> None:
     enm = (_load_actor_params(policy, args.opponent) if args.opponent else ego)
 
     state, obs = env.reset(jax.random.PRNGKey(args.seed))
-    h_e, _ = policy.init_rnn_states(1)
-    h_o, _ = policy.init_rnn_states(1)
-    ones = jnp.ones((1, 1), jnp.float32)
+    h_e, _ = policy.init_rnn_states(half)
+    h_o, _ = policy.init_rnn_states(half)
+    ones = jnp.ones((half, 1), jnp.float32)
     acmi = ACMIWriter(os.path.join(args.out, "recording.txt.acmi"))
+    colors = ["Red"] * half + ["Blue"] * half
 
     for count in range(args.steps):
-        a_e, h_e = policy.act(ego, obs[0:1], h_e, ones, deterministic=True)
-        a_o, h_o = policy.act(enm, obs[1:2], h_o, ones, deterministic=True)
+        a_e, h_e = policy.act(ego, obs[:half], h_e, ones, deterministic=True)
+        a_o, h_o = policy.act(enm, obs[half:], h_o, ones, deterministic=True)
         state, out = env.step(state, jnp.concatenate([a_e, a_o], axis=0))
         obs = out.obs
         s = np.asarray(state.model.s)
         acmi.write_frame(count * env.config.dt * env.inner_steps, s[:, :6],
-                         colors=["Red", "Blue"])
+                         colors=colors)
         if bool((out.done | out.bad_done).any()):
             break
     print(json.dumps({"steps": count + 1,
