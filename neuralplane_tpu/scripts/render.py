@@ -58,7 +58,8 @@ def render_control(args) -> None:
         env = PlanningEnv(num_envs=args.num_envs, config=args.scenario,
                           low_level_params=low)
     else:
-        env = ControlEnv(num_envs=args.num_envs, config=args.scenario)
+        env = ControlEnv(num_envs=args.num_envs, config=args.scenario,
+                         model=args.model_name)
     cfg = RLConfig()
     policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
     if args.mode in ("ppo", "planning"):
@@ -199,6 +200,9 @@ def main(argv=None) -> None:
     p.add_argument("--opponent", default=None, help="combat: enemy actor ckpt")
     p.add_argument("--low-level-ckpt", default=None,
                    help="planning: trained control-task actor checkpoint")
+    p.add_argument("--model-name", default="F16",
+                   choices=["F16", "UAV", "C172P"],
+                   help="vehicle model for ppo/pid modes (train CLI parity)")
     p.add_argument("--num-envs", type=int, default=1)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
