@@ -111,3 +111,69 @@ def yaw_rate_out(cfg: RateControllerConfig, st: RateState,
     """Rudder demand in deg (`yawController.py:71-86` get_rate_out path,
     the one the facade actually uses, `controller.py:69-74`)."""
     return _rate_out(cfg, st, desired_rate, scaler, yaw_rate, eas2tas)
+
+
+@struct.dataclass
+class YawDamperState:
+    """Filter/integrator state of the legacy sideslip damper
+    (`yawController.py:34-37`)."""
+    last_out: jnp.ndarray          # [n] deg (anti-windup latch on +-45)
+    last_rate_hp_out: jnp.ndarray  # [n] high-pass output memory
+    last_rate_hp_in: jnp.ndarray   # [n] high-pass input memory
+    integrator: jnp.ndarray        # [n]
+
+
+def yaw_damper_init(n: int) -> YawDamperState:
+    z = jnp.zeros((n,), jnp.float32)
+    return YawDamperState(last_out=z, last_rate_hp_out=z,
+                          last_rate_hp_in=z, integrator=z)
+
+
+def yaw_servo_out(cfg: "YawDamperConfig", st: YawDamperState,
+                  scaler: jnp.ndarray, roll: jnp.ndarray, vt: jnp.ndarray,
+                  rate_z: jnp.ndarray, ay: jnp.ndarray,
+                  eas2tas: jnp.ndarray) -> Tuple[YawDamperState, jnp.ndarray]:
+    """Legacy ArduPilot sideslip-damper servo path
+    (`yawController.py:39-68` get_servo_out).
+
+    Yaw-rate measurement minus the turn-coordination offset
+    g*sin(roll)*KFF*eas2tas/vt is high-passed (one-pole, 0.996008), fed to a
+    lateral-accel + washed-rate integrator (KI, KA), and the rudder demand is
+    KD*(integrator - hp_rate)*scaler^2 clamped to +-45 deg. KA/KI/KD/KFF come
+    from `config/yawcontroller.yaml` (defaults KA=KI=KD=0, i.e. the damper is
+    configured OFF in the reference too; it exists as the classical
+    alternative to the rate loop). The KD<1e-4 early-return and the
+    conditional anti-windup accumulation (+only when latched low, -only when
+    latched high) are preserved; gain conditionals are Python-level because
+    gains are static config floats."""
+    mask = jnp.abs(roll) < (PI / 2)
+    roll_eff = jnp.where(mask, jnp.clip(roll, -4 * PI / 9, 4 * PI / 9), roll)
+    rate_offset = cfg.KFF * cfg.gravity * jnp.sin(roll_eff) * eas2tas / vt
+    rate_hp_in = (rate_z - rate_offset) * 180.0 / PI
+    rate_hp_out = (0.996008 * st.last_rate_hp_out + rate_hp_in
+                   - st.last_rate_hp_in)
+    integ_in = -cfg.KI * (cfg.KA * ay + rate_hp_out)
+    if cfg.KD > 0:
+        # anti-windup: only integrate toward recovery while output saturated
+        lo = st.last_out < -45.0
+        hi = st.last_out > 45.0
+        step = integ_in * cfg.gains.dt
+        integrator = (st.integrator
+                      + jnp.maximum(step, 0.0) * lo
+                      + jnp.minimum(step, 0.0) * hi
+                      + step * ~(lo | hi))
+    else:
+        integrator = jnp.zeros_like(st.integrator)
+    if cfg.KD < 1e-4:
+        new = YawDamperState(last_out=st.last_out,
+                             last_rate_hp_out=rate_hp_out,
+                             last_rate_hp_in=rate_hp_in,
+                             integrator=integrator)
+        return new, jnp.zeros_like(rate_z)
+    int_lim = cfg.imax * 0.01 / (cfg.KD * scaler * scaler)
+    integrator = jnp.clip(integrator, -int_lim, int_lim)
+    out = (cfg.KD * integrator * scaler * scaler
+           + cfg.KD * (-rate_hp_out) * scaler * scaler)
+    new = YawDamperState(last_out=out, last_rate_hp_out=rate_hp_out,
+                         last_rate_hp_in=rate_hp_in, integrator=integrator)
+    return new, jnp.clip(out, -45.0, 45.0)

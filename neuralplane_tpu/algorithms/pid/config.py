@@ -47,6 +47,20 @@ class RateControllerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class YawDamperConfig:
+    """Legacy sideslip-damper gains (config/yawcontroller.yaml KA/KI/KD/KFF/
+    imax block; the reference ships them all zero, i.e. damper off)."""
+    gains: PIDGains = PIDGains(Kp=1.0, Ki=0.3, Kd=0.05, Kff=0.3,
+                               Kimax=0.666, dt=0.02)
+    KA: float = 0.0
+    KI: float = 0.0
+    KD: float = 0.0
+    KFF: float = 1.0
+    imax: float = 1500.0
+    gravity: float = 32.174
+
+
+@dataclasses.dataclass(frozen=True)
 class SpeedControllerConfig:
     """Throttle-from-accel PID (config/speedcontroller.yaml). The reference's
     SpeedController references a never-assigned `rate_pid` (C8 bit-rot,

@@ -19,8 +19,7 @@ from .envs import ControlEnv
 
 
 def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
-                     model: str = "F16", double_buffer: bool = False,
-                     aero_backend: str = "auto") -> Dict:
+                     model: str = "F16", aero_backend: str = "auto") -> Dict:
     """Wall-time `steps` env steps at batch size n. Returns timing dict."""
     env = ControlEnv(num_envs=n, config=scenario, model=model,
                      aero_backend=aero_backend)

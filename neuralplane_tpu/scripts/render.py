@@ -153,6 +153,17 @@ def render_control(args) -> None:
     print(json.dumps(metrics, indent=2))
 
 
+def _resolve_pool_ckpt(model_dir: str, index: str) -> str:
+    """Map a pool index to a checkpoint file: actor_<index>.pkl, falling back
+    to state_<index>.pkl (full train-state saves use that prefix)."""
+    for name in (f"actor_{index}.pkl", f"state_{index}.pkl"):
+        path = os.path.join(model_dir, name)
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(
+        f"no actor_{index}.pkl or state_{index}.pkl in {model_dir}")
+
+
 def render_combat(args) -> None:
     # team scenarios (e.g. multiple_selfplay 2v2) use the nvn env; the
     # reference's render_singlecombat is 1v1-only - team render is a
@@ -198,6 +209,15 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint", default=None,
                    help="state_*.pkl or actor_*.pkl from a training run")
     p.add_argument("--opponent", default=None, help="combat: enemy actor ckpt")
+    p.add_argument("--model-dir", default=None,
+                   help="run checkpoint dir; combined with --render-index/"
+                   "--render-opponent-index to pick pool entries "
+                   "(config.py:284-285)")
+    p.add_argument("--render-index", default="latest",
+                   help="ego policy index in --model-dir's pool "
+                   "(actor_<index>.pkl; 'latest' -> state_latest.pkl)")
+    p.add_argument("--render-opponent-index", default="latest",
+                   help="opponent policy index in --model-dir's pool")
     p.add_argument("--low-level-ckpt", default=None,
                    help="planning: trained control-task actor checkpoint")
     p.add_argument("--model-name", default="F16",
@@ -210,6 +230,14 @@ def main(argv=None) -> None:
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
     args = p.parse_args(argv)
+    if args.model_dir:
+        # reference --render-index/--render-opponent-index semantics
+        # (config.py:284-285): resolve pool entries inside the run dir;
+        # explicit --checkpoint/--opponent paths take precedence
+        args.checkpoint = args.checkpoint or _resolve_pool_ckpt(
+            args.model_dir, args.render_index)
+        args.opponent = args.opponent or _resolve_pool_ckpt(
+            args.model_dir, args.render_opponent_index)
     os.makedirs(args.out, exist_ok=True)
     if args.mode == "combat":
         args.scenario = args.scenario or "selfplay"

@@ -55,6 +55,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--activation-id", type=int, default=1)
     p.add_argument("--use-feature-normalization", action="store_true",
                    default=True)
+    p.add_argument("--use-prior", action="store_true",
+                   help="Beta-prior missile-shoot head (config.py:123); only "
+                   "affects Tuple(MultiDiscrete, Discrete) action spaces - "
+                   "see algorithms/heads.py shoot_priors")
     p.add_argument("--gain", type=float, default=0.01)
     # recurrent
     p.add_argument("--use-recurrent-policy", action="store_false",
@@ -113,6 +117,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
         activation=["tanh", "relu", "leaky_relu", "elu"][args.activation_id],
         use_feature_normalization=args.use_feature_normalization,
+        use_prior=args.use_prior,
         gain=args.gain,
         use_recurrent_policy=args.use_recurrent_policy,
         recurrent_hidden_size=args.recurrent_hidden_size,

@@ -148,3 +148,61 @@ def test_speed_controller_throttle_and_antiwindup():
     assert i_after <= i_before + 1e-6
     # zero-error row stays identically zero
     assert abs(float(st.pid.integrator[1])) < 1e-9
+
+
+def test_yaw_sideslip_damper():
+    """C5 legacy servo path (`yawController.py:39-68`): high-pass washed
+    yaw-rate damping. With the shipped yaml gains (KA=KI=KD=0) the damper is
+    OFF and returns zeros; with KD>0 it opposes the washed yaw rate, the
+    high-pass forgets a constant input, and the output clamps to +-45 deg."""
+    from neuralplane_tpu.algorithms.pid import (YawDamperConfig,
+                                                yaw_damper_init,
+                                                yaw_servo_out)
+    n = 2
+    scaler = jnp.ones(n)
+    roll = jnp.zeros(n)
+    vt = jnp.full((n,), 1000.0)
+    ay = jnp.zeros(n)
+    eas2tas = jnp.ones(n)
+
+    # shipped config: all damper gains zero -> output identically zero
+    cfg0 = YawDamperConfig()
+    st = yaw_damper_init(n)
+    st, out = yaw_servo_out(cfg0, st, scaler, roll, vt,
+                            jnp.array([0.5, -0.5]), ay, eas2tas)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    # active damper: positive yaw rate -> negative rudder (damping)
+    cfg = YawDamperConfig(KA=0.0, KI=0.5, KD=0.1, KFF=1.0)
+    st = yaw_damper_init(n)
+    rate_z = jnp.array([0.2, -0.2])
+    st, out = yaw_servo_out(cfg, st, scaler, roll, vt, rate_z, ay, eas2tas)
+    assert float(out[0]) < 0.0 < float(out[1])
+    # first-step symmetry
+    np.testing.assert_allclose(float(out[0]), -float(out[1]), rtol=1e-6)
+
+    # high-pass washout (KI=0 isolates the rate path): holding the same
+    # rate, hp_out decays on the 0.996008 pole, so |servo| shrinks toward 0
+    cfg_hp = YawDamperConfig(KA=0.0, KI=0.0, KD=0.1, KFF=1.0)
+    st_hp = yaw_damper_init(n)
+    mags = []
+    for _ in range(200):
+        st_hp, out_hp = yaw_servo_out(cfg_hp, st_hp, scaler, roll, vt,
+                                      rate_z, ay, eas2tas)
+        mags.append(abs(float(out_hp[0])))
+    assert mags[-1] < 0.5 * mags[0]
+
+    # clamp: a huge rate step saturates at the +-45 deg servo limit
+    st, out = yaw_servo_out(cfg, st, scaler, roll, vt,
+                            jnp.array([50.0, -50.0]), ay, eas2tas)
+    np.testing.assert_allclose(np.abs(np.asarray(out)), 45.0)
+
+    # turn-coordination offset: in a bank, the expected turn rate
+    # g*sin(roll)/vt is subtracted before damping, so a coordinated turn
+    # produces (near-)zero rudder
+    bank = jnp.full((n,), 0.5)
+    turn_rate = 32.174 * jnp.sin(bank) / vt
+    st2 = yaw_damper_init(n)
+    st2, out2 = yaw_servo_out(cfg, st2, scaler, bank, vt, turn_rate, ay,
+                              eas2tas)
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-5)
