@@ -220,20 +220,52 @@ class SelfplayRunner(Runner):
 
     # ---- evaluation vs pool + ELO (reference :133-241) ----
     def eval_elo(self, num_steps: Optional[int] = None) -> Dict[str, float]:
-        # ELO matches play on the TRAINING env: the split/slice helpers and
-        # carry shapes are sized to self.env, so a differently-shaped
-        # eval_env cannot be honored here (it previously supplied only its
-        # max_steps while reset/step silently ran self.env)
-        steps = num_steps or self.env.config.max_steps
+        # ELO matches play on the dedicated eval env when one is provided
+        # (reference evaluates on eval_envs, selfplay_F16sim_runner.py:
+        # 156-241), falling back to the training env. All split/slice
+        # helpers below are sized from the env being evaluated, so eval_env
+        # may have a different num_envs than training.
+        env = self.eval_env if self.eval_env is not None else self.env
+        steps = num_steps or env.config.max_steps
+        num_envs, num_agents = env.num_envs, env.num_agents
+        half = num_agents // 2
+        n_ego = num_envs * half
+        K = self.num_opponents
+        assert n_ego % K == 0, (
+            f"eval n_ego={n_ego} must divide into {K} opponent slices")
+
+        def split(x):
+            g = x.reshape(num_envs, num_agents, *x.shape[1:])
+            return (g[:, :half].reshape(n_ego, *x.shape[1:]),
+                    g[:, half:].reshape(n_ego, *x.shape[1:]))
+
+        def merge(e, o):
+            eg = e.reshape(num_envs, half, *e.shape[1:])
+            og = o.reshape(num_envs, half, *o.shape[1:])
+            return jnp.concatenate([eg, og], axis=1).reshape(
+                num_envs * num_agents, *e.shape[1:])
+
+        def slices(x):
+            return x.reshape(K, n_ego // K, *x.shape[1:])
+
         names = [choose_opponent(self.cfg.selfplay_algorithm,
                                  self.policy_pool, self.rng)
-                 for _ in range(self.num_opponents)]
+                 for _ in range(K)]
         opp_params = self._stack_opponents(names)
-        carry = self.init_carry(self.next_key())
+
+        k_reset, _ = jax.random.split(self.next_key())
+        env_state, obs = env.reset(k_reset)
+        ego_obs, opp_obs = split(obs)
+        h_a, h_c = self.policy.init_rnn_states(n_ego)
+        ones = jnp.ones((n_ego, 1), jnp.float32)
+        carry = SelfplayCarry(env_state=env_state, ego_obs=ego_obs,
+                              opp_obs=opp_obs, h_actor=h_a, h_critic=h_c,
+                              h_opp=jnp.zeros_like(h_a), ego_masks=ones,
+                              opp_masks=ones, bad_masks=ones, key=k_reset)
 
         @jax.jit
         def run(params, opp_params, carry):
-            zero = jnp.zeros((self.n_ego, 1), jnp.float32)
+            zero = jnp.zeros((n_ego, 1), jnp.float32)
 
             def body(state, _):
                 c, cum_ego, cum_opp = state
@@ -244,17 +276,17 @@ class SelfplayRunner(Runner):
                 a_opp, h_opp = jax.vmap(
                     lambda p, o, h, m: self.policy.act(
                         {"actor": p}, o, h, m, deterministic=True))(
-                    opp_params, self._opp_slices(c.opp_obs),
-                    self._opp_slices(c.h_opp),
-                    self._opp_slices(c.opp_masks))
-                a_opp = a_opp.reshape(self.n_ego, -1)
-                env_state, out = self.env.step(c.env_state,
-                                               self._merge(a_ego, a_opp))
+                    opp_params, slices(c.opp_obs),
+                    slices(c.h_opp),
+                    slices(c.opp_masks))
+                a_opp = a_opp.reshape(n_ego, -1)
+                env_state, out = env.step(c.env_state,
+                                          merge(a_ego, a_opp))
 
                 def env_any(x):
-                    per = jnp.any(x.reshape(self.num_envs, self.num_agents),
+                    per = jnp.any(x.reshape(num_envs, num_agents),
                                   axis=1)
-                    return jnp.repeat(per, self.half)[:, None]
+                    return jnp.repeat(per, half)[:, None]
                 dones_env = env_any(out.done)
                 bad_env = env_any(out.bad_done)
                 reset_env = env_any(out.done | out.bad_done
@@ -262,8 +294,8 @@ class SelfplayRunner(Runner):
                 masks = 1.0 - dones_env.astype(jnp.float32)
                 bad_masks = 1.0 - bad_env.astype(jnp.float32)
                 keep = (1.0 - reset_env.astype(jnp.float32))[:, :, None]
-                ego_obs, opp_obs = self._split(out.obs)
-                ego_rew, opp_rew = self._split(out.reward[:, None])
+                ego_obs, opp_obs = split(out.obs)
+                ego_rew, opp_rew = split(out.reward[:, None])
                 # per-EPISODE cumulative rewards, emitted when the env
                 # group resets (reference :197-216: cumulative_rewards
                 # appended at reset_env and zeroed)
@@ -286,11 +318,11 @@ class SelfplayRunner(Runner):
             # episodes; summing emitted values and dividing by per-agent
             # reset counts is identical because resets are env-level and
             # broadcast over the half agents, so the /half cancels)
-            ends = self._opp_slices(resets.sum(0)).sum(axis=(1, 2))
+            ends = slices(resets.sum(0)).sum(axis=(1, 2))
             denom = jnp.maximum(ends, 1.0)
-            ego = self._opp_slices(e_ego.sum(0)).sum(axis=(1, 2)) / denom
-            opp = self._opp_slices(e_opp.sum(0)).sum(axis=(1, 2)) / denom
-            return ego, opp, ends.sum() / self.half
+            ego = slices(e_ego.sum(0)).sum(axis=(1, 2)) / denom
+            opp = slices(e_opp.sum(0)).sum(axis=(1, 2)) / denom
+            return ego, opp, ends.sum() / half
         ego_rew, opp_rew, ends = run(self.train_state.params, opp_params,
                                      carry)
         ego_rew, opp_rew = np.asarray(ego_rew), np.asarray(opp_rew)

@@ -142,8 +142,8 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
     )
 
 
-def make_env(args: argparse.Namespace):
-    n = args.n_rollout_threads
+def make_env(args: argparse.Namespace, num_envs: int = None):
+    n = num_envs if num_envs is not None else args.n_rollout_threads
     if args.env_name == "Control":
         return ControlEnv(num_envs=n, config=args.scenario_name,
                           model=args.model_name)
@@ -174,6 +174,10 @@ def main(argv=None) -> None:
     args = get_parser().parse_args(argv)
     cfg = args_to_config(args)
     env = make_env(args)
+    # dedicated eval env (reference make_eval_env, train_F16sim.py:40-54):
+    # ELO eval plays on it with its own num_envs
+    eval_env = (make_env(args, num_envs=args.n_eval_rollout_threads)
+                if args.use_eval else None)
 
     run_dir = args.run_dir or os.path.join(
         "runs", f"{time.strftime('%Y-%m-%d_%H-%M-%S')}_{args.env_name}_"
@@ -191,7 +195,8 @@ def main(argv=None) -> None:
             from ..parallel import make_mesh
             mesh = make_mesh()
         runner_kwargs = {"mesh": mesh}
-    runner = runner_cls(env, cfg, run_dir=run_dir, model_dir=args.model_dir,
+    runner = runner_cls(env, cfg, run_dir=run_dir, eval_env=eval_env,
+                        model_dir=args.model_dir,
                         use_tensorboard=args.use_tensorboard,
                         **runner_kwargs)
     try:

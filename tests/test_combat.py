@@ -134,3 +134,26 @@ def test_eval_elo_per_episode_protocol(tmp_path, monkeypatch):
     assert captured["opp"] == pytest.approx(0.0)
     assert captured["kw"]["tie_band"] == 1.0
     assert out["latest_elo"] == 1000.0
+
+
+def test_eval_elo_honors_eval_env(tmp_path):
+    """ELO eval plays on the dedicated eval env (reference evaluates on
+    eval_envs, `selfplay_F16sim_runner.py:156-241`): with an eval env of a
+    DIFFERENT num_envs than training, eval_elo must size its split/slice
+    helpers from the eval env and leave the training env untouched."""
+    cfg = RLConfig(buffer_size=8, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1, num_env_steps=8,
+                   save_interval=100, log_interval=1, elo_tie_band=1.0)
+    env = SingleCombatEnv(num_envs=4)
+    eval_env = SingleCombatEnv(num_envs=2)
+    runner = SelfplayRunner(env, cfg, run_dir=str(tmp_path),
+                            eval_env=eval_env)
+    out = runner.eval_elo(num_steps=6)
+    assert np.isfinite(out["latest_elo"])
+    # training rollout still shaped by the training env afterwards
+    carry = runner.init_carry(jax.random.PRNGKey(0))
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    assert batch.obs.shape[1] == env.num_envs * env.num_agents // 2
