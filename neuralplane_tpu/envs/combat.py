@@ -30,6 +30,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..algorithms.pid import Controller, ControllerState, flight_data
@@ -274,12 +275,286 @@ class SingleCombatEnv:
 
 
 class MultipleCombatEnv(SingleCombatEnv):
-    """nvn team combat (`envs/multiplecombat_env.py:24-271`): same obs/
-    reward/blood machinery with pairwise ego/enemy assignment and a single
-    FDM step per env step (:239-258)."""
+    """nvn TEAM combat: the reference's unrealized intent implemented.
+
+    `envs/multiplecombat_env.py:24-271` ships nvn plumbing whose obs/reward/
+    blood still compute 1v1 pairs (its own `todo:` at :67 admits it) — with
+    2v2 teams the signal is pairwise-symmetric and every self-play match
+    ties. This class is the real team game its config describes:
+
+    - **obs** ([9 + 7*(h-1) + 7*h] for team size h = num_agents/2): the 1v1
+      ego block (9 dims, `singlecombat_env.py:66-138` layout) followed by a
+      7-dim relative block per TEAMMATE (fixed within-team order) and per
+      ENEMY (sorted nearest-alive-first): [delta_v_body_x (mh), delta_alt
+      (km), AO, TA, R (10 km), side_flag, alive]. Dead blocks are zeroed
+      with alive = 0.
+    - **per-agent death**: blood <= 0 freezes that agent's state (no more
+      flight, no damage dealt or taken, no termination triggers); the
+      episode continues until a whole team is wiped. `StepOutput.active`
+      carries liveness for MAPPO's active_masks.
+    - **damage**: nearest-alive-threat pairing — each alive agent damages
+      its closest alive enemy by orientation_fn(AO)*distance_fn(R), damage
+      to one victim summing over attackers (1v1 pairing is the h=1 case).
+    - **reward** (team-shared, identical for every member): mean over the
+      team of alive-masked posture vs each agent's nearest alive enemy
+      (the 1v1 0.01*orientation*range shaping), + 0.1/h * (team damage
+      dealt - team damage taken), + the event term +-200 on a team wipe
+      (EventDrivenReward scale, `event_driven_reward.py:28`).
+    - **termination**: physical conditions and crash apply to ALIVE agents
+      only (a frozen corpse cannot re-trigger low-altitude every step);
+      shutdown becomes the team-wipe win/lose split, reducing exactly to
+      the reference's pairwise rule (`shutdown.py:36-40`) at h = 1.
+
+    Geometry is computed group-locally ([E, m, m] all-pairs on m = 4-sized
+    groups), so sharding on the env axis keeps the team game on-shard.
+    """
 
     inner_steps = 1
 
     def __init__(self, num_envs: int = 1,
                  config: str | EnvConfig = "multiple_selfplay"):
         super().__init__(num_envs, config)
+        self.half = self.num_agents // 2
+        # 9 ego dims + 7 per teammate + 7 per enemy (config's
+        # num_observation is the 1v1 layout; the team layout supersedes it)
+        self.num_observation = 9 + 7 * (self.half - 1) + 7 * self.half
+
+    # ---- group-local all-pairs geometry ----
+    def _group(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x.reshape(self.num_envs, self.num_agents, *x.shape[1:])
+
+    def _obs(self, state: CombatState, xdot: jnp.ndarray) -> jnp.ndarray:
+        """Team obs from current liveness (inherited reset() calls this)."""
+        return self._team_obs(state, xdot, self._group(state.blood > 0.0))
+
+    def _all_pairs(self, pos_g: jnp.ndarray, vel_g: jnp.ndarray,
+                   planar: bool):
+        """[E,m,m] AO/TA/R/side where entry (i, j) is agent i's geometry
+        toward agent j (get_AO_TA_R semantics, `utils/utils.py:156-207`)."""
+        if planar:
+            pos_g, vel_g = pos_g[..., :2], vel_g[..., :2]
+        delta = pos_g[:, None, :, :] - pos_g[:, :, None, :]   # [E,m,m,3]
+        R = jnp.linalg.norm(delta, axis=-1)
+        v = jnp.linalg.norm(vel_g, axis=-1)
+        proj_i = jnp.einsum("eijk,eik->eij", delta, vel_g)
+        AO = jnp.arccos(jnp.clip(
+            proj_i / (R * v[:, :, None] + 1e-8), -1.0, 1.0))
+        proj_j = jnp.einsum("eijk,ejk->eij", delta, vel_g)
+        TA = jnp.arccos(jnp.clip(
+            proj_j / (R * v[:, None, :] + 1e-8), -1.0, 1.0))
+        cross = (vel_g[:, :, None, 0] * delta[..., 1]
+                 - vel_g[:, :, None, 1] * delta[..., 0])
+        return AO, TA, R, jnp.sign(cross)
+
+    def _team_slices(self):
+        """(teammate_idx[m, h-1], enemy_idx[m, h]) static index tables."""
+        m, h = self.num_agents, self.half
+        mates, enemies = [], []
+        for i in range(m):
+            team = range(0, h) if i < h else range(h, m)
+            other = range(h, m) if i < h else range(0, h)
+            mates.append([j for j in team if j != i])
+            enemies.append(list(other))
+        return np.array(mates), np.array(enemies)
+
+    def _nearest_enemy_perm(self, R: jnp.ndarray, alive_g: jnp.ndarray):
+        """Per-agent enemy ordering, nearest ALIVE first.
+
+        Returns [E, m, h] global-within-group enemy indices and the sort
+        key ([E, m, h] masked ranges, dead enemies pushed to +inf).
+        """
+        _, enemy_idx = self._team_slices()
+        eidx = jnp.asarray(enemy_idx)                       # [m, h]
+        R_en = jnp.take_along_axis(
+            R, jnp.broadcast_to(eidx[None], (R.shape[0],) + eidx.shape),
+            axis=2)                                          # [E, m, h]
+        alive_en = alive_g[:, eidx]                          # [E, m, h]
+        key = jnp.where(alive_en, R_en, jnp.inf)
+        order = jnp.argsort(key, axis=-1)                    # [E, m, h]
+        perm = jnp.take_along_axis(
+            jnp.broadcast_to(eidx[None], key.shape), order, axis=-1)
+        return perm, jnp.take_along_axis(key, order, axis=-1)
+
+    # ---- step ----
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: CombatState, action: jnp.ndarray
+             ) -> Tuple[CombatState, StepOutput]:
+        state = self._masked_reset(state)
+        action = jnp.clip(action, -1.0, 1.0)
+        E, m, h = self.num_envs, self.num_agents, self.half
+        alive_pre = state.blood > 0.0                        # [n]
+
+        def inner(carry, _):
+            mstate, cst = carry
+            xdot = self.model.extended_state(mstate)
+            data = flight_data(self.model, mstate, xdot)
+            cst = cst.replace(
+                roll_dem=0.9 * cst.roll_dem + 0.1 * action[:, 1] * 4 * PI / 9,
+                pitch_dem=0.9 * cst.pitch_dem + 0.1 * action[:, 2] * PI / 12,
+                yaw_dem=wrap_PI(mstate.s[:, 5] + action[:, 3] * PI / 60))
+            cst = self.controller.stabilize(cst, data)
+            T = 0.9 * mstate.u[:, 0] + 0.1 * action[:, 0] * THRUST_SCALE
+            u = jnp.stack([T, -cst.el, -cst.ail, -cst.rud,
+                           jnp.zeros_like(T)], axis=1)
+            mstate = self.model.raw_control_update(mstate, u)
+            return (mstate, cst), None
+
+        (mstate, cst), _ = jax.lax.scan(
+            inner, (state.model, state.controller), None,
+            length=self.inner_steps)
+
+        # dead agents are frozen where they died (no flight, no actuator)
+        keep = alive_pre[:, None]
+        mstate = mstate.replace(
+            s=jnp.where(keep, mstate.s, state.model.s),
+            u=jnp.where(keep, mstate.u, state.model.u))
+
+        step_count = state.step_count + 1
+        xdot = self.model.extended_state(mstate)
+
+        pos_g = self._group(mstate.s[:, :3])
+        vel_g = self._group(xdot[:, :3])
+        alive_g = self._group(alive_pre)
+        AO3, TA3, R3, _ = self._all_pairs(pos_g, vel_g, planar=False)
+        perm, key_sorted = self._nearest_enemy_perm(R3, alive_g)
+
+        # nearest-alive-threat damage (pre-step liveness on both sides)
+        target = perm[:, :, 0]                               # [E, m]
+        has_target = jnp.isfinite(key_sorted[:, :, 0])
+        rows = jnp.arange(m)
+        AO_t = jnp.take_along_axis(AO3, target[:, :, None],
+                                   axis=2)[:, :, 0]          # [E, m]
+        R_t = jnp.take_along_axis(R3, target[:, :, None], axis=2)[:, :, 0]
+        dmg = (orientation_fn(AO_t) * distance_fn(R_t * FT / 1000.0)
+               * alive_g * has_target)                       # [E, m]
+        victim_onehot = (target[:, :, None] == rows[None, None, :])
+        incoming = jnp.einsum("eij,ei->ej", victim_onehot.astype(dmg.dtype),
+                              dmg)
+        blood = state.blood - incoming.reshape(-1)
+        alive_post = blood > 0.0
+        alive_post_g = self._group(alive_post)
+
+        new_state = state.replace(model=mstate, controller=cst, blood=blood,
+                                  step_count=step_count)
+        obs = self._team_obs(new_state, xdot, alive_post_g)
+        done, bad, exceed, info = self._team_termination(
+            new_state, xdot, alive_post_g)
+        # team-shared reward: alive-masked posture vs nearest alive enemy
+        TA_t = jnp.take_along_axis(TA3, target[:, :, None], axis=2)[:, :, 0]
+        posture = (0.01 * orientation_reward(AO_t, TA_t)
+                   * range_reward(self.config.target_dist, R_t * FT / 1000.0)
+                   * alive_g * has_target)                   # [E, m]
+        team_post = (posture[:, :h].sum(1)[:, None] * (rows < h)[None, :]
+                     + posture[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
+        dealt = (dmg[:, :h].sum(1)[:, None] * (rows < h)[None, :]
+                 + dmg[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
+        taken = (incoming[:, :h].sum(1)[:, None] * (rows < h)[None, :]
+                 + incoming[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
+        own_wiped = ~jnp.any(alive_post_g[:, :h], axis=1)    # [E]
+        enm_wiped = ~jnp.any(alive_post_g[:, h:], axis=1)
+        wiped_own = jnp.where((rows < h)[None, :], own_wiped[:, None],
+                              enm_wiped[:, None])            # [E, m]
+        wiped_enm = jnp.where((rows < h)[None, :], enm_wiped[:, None],
+                              own_wiped[:, None])
+        reward = ((team_post + 0.1 * (dealt - taken)) / h
+                  + 200.0 * (wiped_enm & ~wiped_own)
+                  - 200.0 * wiped_own).reshape(-1)
+
+        new_state = new_state.replace(is_done=done, bad_done=bad,
+                                      exceed_time_limit=exceed)
+        return new_state, StepOutput(
+            obs=obs, reward=reward, done=done, bad_done=bad,
+            exceed_time_limit=exceed, info=info,
+            active=alive_post.astype(jnp.float32))
+
+    # ---- team observation ----
+    def _team_obs(self, state: CombatState, xdot: jnp.ndarray,
+                  alive_g: jnp.ndarray) -> jnp.ndarray:
+        E, m, h = self.num_envs, self.num_agents, self.half
+        s = state.model.s
+        vu, vv, vw = self.model.get_velocity(state.model)
+        ego = jnp.stack([
+            s[:, 2] * FT / 5000.0,
+            jnp.sin(s[:, 3]), jnp.cos(s[:, 3]),
+            jnp.sin(s[:, 4]), jnp.cos(s[:, 4]),
+            vu * FT / 340.0, vv * FT / 340.0, vw * FT / 340.0,
+            s[:, 6] * FT / 340.0,
+        ], axis=1).reshape(E, m, 9)
+
+        pos_g = self._group(s[:, :3])
+        vel_g = self._group(xdot[:, :3])
+        AO, TA, R, side = self._all_pairs(pos_g, vel_g, planar=True)
+        vu_g = self._group(vu)
+        alt_g = self._group(s[:, 2])
+        dvx = (vu_g[:, None, :] - vu_g[:, :, None]) * FT / 340.0  # [E,m,m]
+        dalt = (alt_g[:, None, :] - alt_g[:, :, None]) * FT / 1000.0
+
+        def block(idx):
+            """idx [E or 1, m, k] of within-group agent indices ->
+            [E, m, k, 7] relative blocks, dead blocks zeroed."""
+            idxb = jnp.broadcast_to(idx, (E, m, idx.shape[-1]))
+            take = lambda M: jnp.take_along_axis(M, idxb, axis=2)
+            alive_bc = jnp.broadcast_to(alive_g[:, None, :], (E, m, m))
+            a_f = take(alive_bc).astype(dvx.dtype)
+            feats = jnp.stack([take(dvx), take(dalt), take(AO), take(TA),
+                               take(R) * FT / 10000.0, take(side)], axis=-1)
+            return jnp.concatenate([feats * a_f[..., None], a_f[..., None]],
+                                   axis=-1)
+
+        mates_idx, _ = self._team_slices()
+        parts = [ego]
+        if h > 1:
+            mi = jnp.asarray(mates_idx)[None]                # [1, m, h-1]
+            parts.append(block(mi).reshape(E, m, (h - 1) * 7))
+        R3 = self._all_pairs(pos_g, vel_g, planar=False)[2]
+        perm, _ = self._nearest_enemy_perm(R3, alive_g)      # [E, m, h]
+        parts.append(block(perm).reshape(E, m, h * 7))
+        return jnp.concatenate(parts, axis=-1).reshape(
+            self.n, self.num_observation)
+
+    # ---- team termination ----
+    def _team_termination(self, state: CombatState, xdot: jnp.ndarray,
+                          alive_g: jnp.ndarray):
+        cfg, model, mstate = self.config, self.model, state.model
+        E, m, h = self.num_envs, self.num_agents, self.half
+        alive = alive_g.reshape(-1)
+
+        def masked(cond):
+            b, d, e = cond
+            return b & alive, d & alive, e
+
+        conds = [
+            ("overload", masked(X.overload(cfg, model, mstate, xdot))),
+            ("low_altitude", masked(X.low_altitude(cfg, model, mstate))),
+            ("high_speed", masked(X.high_speed(cfg, model, mstate))),
+            ("low_speed", masked(X.low_speed(cfg, model, mstate))),
+            ("extreme_state", masked(X.extreme_state(cfg, model, mstate))),
+            ("timeout", X.timeout(cfg, state.step_count)),
+        ]
+        # crash: any ALIVE pair within a group closer than distance_limit
+        pos_g = self._group(mstate.s[:, :3])
+        delta = pos_g[:, None, :, :] - pos_g[:, :, None, :]
+        dist = jnp.linalg.norm(delta, axis=-1)
+        pair_alive = alive_g[:, :, None] & alive_g[:, None, :]
+        off_diag = ~jnp.eye(m, dtype=bool)[None]
+        close = (dist < cfg.distance_limit) & pair_alive & off_diag
+        crash_bad = jnp.any(close, axis=2).reshape(-1)
+        conds.append(("crash", (crash_bad, jnp.zeros_like(crash_bad),
+                                jnp.zeros_like(crash_bad))))
+        # shutdown: team-wipe win/lose split (pairwise rule at h = 1)
+        own_wiped = ~jnp.any(alive_g[:, :h], axis=1)
+        enm_wiped = ~jnp.any(alive_g[:, h:], axis=1)
+        rows = jnp.arange(m)
+        bad_sd = jnp.where((rows < h)[None, :], own_wiped[:, None],
+                           enm_wiped[:, None]).reshape(-1)
+        done_sd = (jnp.where((rows < h)[None, :], enm_wiped[:, None],
+                             own_wiped[:, None]).reshape(-1) & ~bad_sd)
+        z = jnp.zeros_like(bad_sd)
+        conds.append(("shutdown", (bad_sd, done_sd, z)))
+
+        bad = functools.reduce(jnp.logical_or, [c[0] for _, c in conds])
+        done = functools.reduce(jnp.logical_or, [c[1] for _, c in conds])
+        exceed = functools.reduce(jnp.logical_or, [c[2] for _, c in conds])
+        info = {f"termination/{name}": (b | d | e).sum()
+                for name, (b, d, e) in conds}
+        return done, bad, exceed, info

@@ -32,3 +32,7 @@ class StepOutput:
     bad_done: jnp.ndarray
     exceed_time_limit: jnp.ndarray
     info: Any = None
+    # per-agent liveness AFTER the step (float [n]); team-combat envs set it
+    # so MAPPO's active_masks can zero dead-but-not-done agents mid-episode
+    # (SharedReplayBuffer active_masks semantics). None elsewhere.
+    active: Any = None

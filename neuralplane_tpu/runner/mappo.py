@@ -83,6 +83,14 @@ class MAPPOSelfplayRunner(SelfplayRunner):
         # logp by it, so storing this step's done at index t would zero the
         # terminal action and leave the boundary action weighted)
         next_active = 1.0 - ego_done.astype(jnp.float32)
+        if out.active is not None:
+            # team envs expose per-agent liveness: a shot-down teammate is
+            # inactive mid-episode even though the env group keeps running
+            ego_alive, _ = self._split(out.active[:, None])
+            next_active = next_active * ego_alive
+        # an env-group reset revives everyone for the next episode
+        next_active = jnp.maximum(next_active,
+                                  reset_env.astype(jnp.float32))
         step_data = dict(
             obs=carry.ego_obs, share_obs=cent_obs, actions=actions,
             rewards=ego_rew, opp_rewards=opp_rew, masks=carry.ego_masks,

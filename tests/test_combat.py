@@ -48,7 +48,8 @@ def test_combat_step_blood_and_reset():
 def test_multiple_combat_runs():
     env = MultipleCombatEnv(num_envs=2)  # 2v2 -> 8 agents
     state, obs = env.reset(jax.random.PRNGKey(2))
-    assert obs.shape == (8, 15)
+    # team layout: 9 ego + 7 teammate + 2x7 enemies (nvn redesign)
+    assert obs.shape == (8, 30)
     state, out = env.step(state, jnp.zeros((env.n, 4)))
     assert np.isfinite(np.asarray(out.obs)).all()
 

@@ -44,7 +44,7 @@ def test_mappo_runner_collect_train(tmp_path):
     carry, batch, _ = runner.collect(runner.train_state.params,
                                      runner.opponent_params, carry)
     # centralized obs = 2 ego agents x 15 dims
-    assert batch.share_obs.shape == (9, runner.n_ego, 30)
+    assert batch.share_obs.shape == (9, runner.n_ego, 60)
     assert batch.active_masks.shape == (9, runner.n_ego, 1)
     metrics = runner.train(batch)
     for k, v in metrics.items():

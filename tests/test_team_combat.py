@@ -1,0 +1,190 @@
+"""nvn team-combat unit tests vs hand-computed 2v2 geometry.
+
+The reference's MultipleCombatEnv never implemented team obs/reward (its own
+`todo: 仅适用于1v1` at `envs/multiplecombat_env.py:67`); this suite pins down
+the team game this framework implements instead: all-pairs geometry equal to
+the pairwise reference helpers, the 9+7*(h-1)+7*h obs layout against
+hand-computed values, nearest-alive-threat damage, mid-episode death
+(frozen state, zeroed blocks, active flags, masked terminations), and the
+team-wipe win/lose split.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralplane_tpu.envs import MultipleCombatEnv
+from neuralplane_tpu.utils.math import (distance_fn, get2d_AO_TA_R,
+                                        get_AO_TA_R, orientation_fn,
+                                        orientation_reward, range_reward)
+
+FT = 0.3048
+
+
+@pytest.fixture(scope="module")
+def env():
+    return MultipleCombatEnv(num_envs=2)
+
+
+def test_all_pairs_matches_pairwise_reference_helper(env):
+    """[E,m,m] all-pairs geometry == get_AO_TA_R evaluated pair by pair."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    E, m = 2, env.num_agents
+    pos = jax.random.uniform(k1, (E, m, 3), minval=-5000, maxval=5000)
+    vel = jax.random.uniform(k2, (E, m, 3), minval=-500, maxval=500)
+    for planar in (False, True):
+        fn = get2d_AO_TA_R if planar else get_AO_TA_R
+        AO, TA, R, side = env._all_pairs(pos, vel, planar=planar)
+        for e in range(E):
+            for i in range(m):
+                for j in range(m):
+                    if i == j:
+                        continue
+                    ao, ta, r, sd = fn(pos[e, i][None], pos[e, j][None],
+                                       vel[e, i][None], vel[e, j][None],
+                                       return_side=True)
+                    np.testing.assert_allclose(AO[e, i, j], ao[0],
+                                               rtol=1e-4, atol=1e-5)
+                    np.testing.assert_allclose(TA[e, i, j], ta[0],
+                                               rtol=1e-4, atol=1e-5)
+                    np.testing.assert_allclose(R[e, i, j], r[0], rtol=1e-4)
+                    np.testing.assert_allclose(side[e, i, j], sd[0])
+
+
+def _crafted_state(env, positions, vts, headings):
+    """Reset, then pin group-0 aircraft to hand-chosen (npos, epos, alt),
+    vt and heading; zero roll/pitch/alpha/beta so body x-velocity == vt."""
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    s = np.asarray(state.model.s).copy()
+    for i, (p, vt, psi) in enumerate(zip(positions, vts, headings)):
+        s[i, 0:3] = p
+        s[i, 3:6] = [0.0, 0.0, psi]
+        s[i, 6:9] = [vt, 0.0, 0.0]
+        s[i, 9:12] = 0.0
+    return state.replace(model=state.model.replace(s=jnp.asarray(s)))
+
+
+def test_team_obs_layout_hand_computed(env):
+    """2v2 obs blocks against hand-computed geometry: ego 9, teammate 7,
+    enemies 7+7 nearest-first."""
+    h = env.half
+    assert env.num_observation == 9 + 7 * (h - 1) + 7 * h == 30
+    # group 0: a0/a1 = ego team, a2/a3 = enemies. a2 is a0's NEAREST enemy.
+    pos = [(0.0, 0.0, 10000.0), (0.0, 2000.0, 10500.0),
+           (5000.0, 0.0, 10000.0), (20000.0, 0.0, 12000.0)]
+    vts = [1000.0, 1100.0, 1050.0, 900.0]
+    psis = [0.0, 0.0, np.pi, np.pi]       # ego north, enemies south
+    state = _crafted_state(env, pos, vts, psis)
+    xdot = env.model.extended_state(state.model)
+    obs = np.asarray(env._obs(state, xdot)).reshape(env.num_envs,
+                                                    env.num_agents, -1)
+    o0 = obs[0, 0]
+    # ego block (singlecombat_env.py:89-99 normalizations)
+    np.testing.assert_allclose(o0[0], 10000.0 * FT / 5000.0, rtol=1e-5)
+    np.testing.assert_allclose(o0[1:5], [0.0, 1.0, 0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(o0[5], 1000.0 * FT / 340.0, rtol=1e-4)
+    np.testing.assert_allclose(o0[8], 1000.0 * FT / 340.0, rtol=1e-5)
+
+    vel = np.asarray(xdot[:, :3])         # ENU ground velocity
+    # teammate block: a1 (delta_vx uses BODY x-velocity, = vt here)
+    ao, ta, r, sd = get2d_AO_TA_R(jnp.asarray(pos[0])[None],
+                                  jnp.asarray(pos[1])[None],
+                                  jnp.asarray(vel[0])[None],
+                                  jnp.asarray(vel[1])[None],
+                                  return_side=True)
+    expect_mate = [(1100.0 - 1000.0) * FT / 340.0,
+                   (10500.0 - 10000.0) * FT / 1000.0,
+                   float(ao[0]), float(ta[0]),
+                   float(r[0]) * FT / 10000.0, float(sd[0]), 1.0]
+    np.testing.assert_allclose(o0[9:16], expect_mate, rtol=1e-4, atol=1e-5)
+
+    # enemy blocks: nearest first -> a2 (R=5000) then a3
+    ao2, ta2, r2, sd2 = get2d_AO_TA_R(jnp.asarray(pos[0])[None],
+                                      jnp.asarray(pos[2])[None],
+                                      jnp.asarray(vel[0])[None],
+                                      jnp.asarray(vel[2])[None],
+                                      return_side=True)
+    expect_e1 = [(1050.0 - 1000.0) * FT / 340.0, 0.0,
+                 float(ao2[0]), float(ta2[0]),
+                 float(r2[0]) * FT / 10000.0, float(sd2[0]), 1.0]
+    np.testing.assert_allclose(o0[16:23], expect_e1, rtol=1e-4, atol=1e-5)
+    # a0 flies north straight at a2 flying south at it: AO=0, TA=pi
+    np.testing.assert_allclose(o0[18], 0.0, atol=1e-3)
+    np.testing.assert_allclose(o0[19], np.pi, atol=1e-3)
+    # second enemy block is a3: delta_alt = +2000 ft
+    np.testing.assert_allclose(o0[23], (900.0 - 1000.0) * FT / 340.0,
+                               rtol=1e-4)
+    np.testing.assert_allclose(o0[24], 2000.0 * FT / 1000.0, rtol=1e-4)
+    np.testing.assert_allclose(o0[29], 1.0)
+
+
+def test_nearest_threat_damage_and_team_reward(env):
+    """a0 nose-on 500 ft behind a2: only a2 takes damage in group 0; both
+    ego agents share one team reward, both enemies share another."""
+    pos = [(0.0, 0.0, 10000.0), (0.0, 8000.0, 10000.0),
+           (500.0, 0.0, 10000.0), (20000.0, 8000.0, 10000.0)]
+    vts = [1000.0, 1000.0, 1000.0, 1000.0]
+    psis = [0.0, 0.0, 0.0, 0.0]           # all north: a0 chases a2
+    state = _crafted_state(env, pos, vts, psis)
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    blood = np.asarray(state.blood)
+    # a2 is hit (nose-on inside 1 km: orientation_fn≈1 * distance_fn=1)
+    assert blood[2] < 99.5
+    # nobody else in group 0 is within 3 km of a threat
+    np.testing.assert_allclose(blood[[0, 1, 3]], 100.0)
+    rew = np.asarray(out.reward)
+    assert rew[0] == rew[1] and rew[2] == rew[3]
+    # attacker team's posture (nose-on, close) beats the victim team's
+    assert rew[0] > rew[2]
+    assert not bool(np.asarray(out.done | out.bad_done)[:4].any())
+
+
+def test_death_freezes_agent_and_masks_terminations(env):
+    pos = [(0.0, 0.0, 10000.0), (0.0, 8000.0, 10000.0),
+           (9000.0, 0.0, 10000.0), (20000.0, 8000.0, 10000.0)]
+    state = _crafted_state(env, pos, [1000.0] * 4, [0.0] * 4)
+    # kill a1 and park its corpse BELOW the altitude limit
+    s = np.asarray(state.model.s).copy()
+    s[1, 2] = 1000.0
+    state = state.replace(model=state.model.replace(s=jnp.asarray(s)),
+                          blood=state.blood.at[1].set(0.0))
+    s_dead = np.asarray(state.model.s[1]).copy()
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    # frozen exactly where it died; low-altitude does NOT fire for a corpse
+    np.testing.assert_allclose(np.asarray(state.model.s[1]), s_dead)
+    assert not bool(np.asarray(out.bad_done)[:4].any())
+    assert np.asarray(out.active)[:4].tolist() == [1.0, 0.0, 1.0, 1.0]
+    # obs: a0's teammate block zeroed with alive=0
+    o0 = np.asarray(out.obs).reshape(env.num_envs, env.num_agents, -1)[0, 0]
+    np.testing.assert_allclose(o0[9:16], 0.0, atol=1e-6)
+
+    # wipe the ego team -> losers bad_done, winners done, +-200 event
+    state = state.replace(blood=state.blood.at[0].set(0.0))
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    assert np.asarray(out.bad_done)[:2].all()
+    assert np.asarray(out.done)[2:4].all()
+    rew = np.asarray(out.reward)
+    assert rew[0] < -190 and rew[2] > 190
+    # group 1 untouched
+    assert not bool(np.asarray(out.done | out.bad_done)[4:].any())
+
+
+def test_group_reset_revives_team(env):
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    state = state.replace(blood=state.blood.at[0].set(0.0),
+                          is_done=state.is_done.at[0].set(True))
+    state, out = env.step(state, jnp.zeros((env.n, 4)))
+    # masked group reset restored full blood before stepping
+    assert float(state.blood[0]) > 0.0
+    assert np.asarray(out.active)[:4].tolist() == [1.0] * 4
+
+
+def test_single_combat_unchanged():
+    """The 1v1 env keeps its 15-dim obs and pairwise semantics."""
+    from neuralplane_tpu.envs import SingleCombatEnv
+    env = SingleCombatEnv(num_envs=2)
+    assert env.num_observation == 15
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 15)
+    _, out = env.step(state, jnp.zeros((4, 4)))
+    assert out.obs.shape == (4, 15) and out.active is None
