@@ -1,7 +1,11 @@
 """Training CLI: the `scripts/train/train_F16sim.py` equivalent.
 
 Argparse flags mirror the reference's `config.py:5-291` groups (same names,
-same defaults), so the reference launch scripts translate 1:1:
+same defaults), so the reference launch scripts translate 1:1. Every
+reference flag is implemented here or in scripts/render.py
+(--render-index/--render-opponent-index live there) except --cuda/--device/
+--n-training-threads, which have no TPU meaning (device selection is JAX
+platform config; there is no torch thread pool):
 
   python -m neuralplane_tpu.scripts.train --env-name Control \
       --scenario-name heading --n-rollout-threads 3000 --buffer-size 3000 \
