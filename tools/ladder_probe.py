@@ -1,0 +1,163 @@
+"""Skill-vs-age ladder probe: final policy vs single historical checkpoints.
+
+The decisive self-play evidence (results/selfplay/REPORT.md): honest ELO
+ladders plateau once FSP draws recent comparable selves, so skill growth is
+demonstrated by pitting the FINAL policy head-to-head against individual
+historical pool checkpoints and reporting the per-episode average reward
+diff (final − opponent) — the reference's eval protocol
+(`runner/selfplay_F16sim_runner.py:197-228`) with an explicit opponent.
+
+Works for both the 1v1 SingleCombatEnv and the nvn team MultipleCombatEnv
+(ego team plays the final actor, enemy team the historical one). Actor
+params load from a run's checkpoints dir (actor_<ep>.pkl pool entries or
+state_latest.pkl full saves).
+
+Usage:
+  python tools/ladder_probe.py --ckpt-dir runs/x/checkpoints \
+      --opponents 1 10 50 200 latest --num-envs 200 --steps 2000 \
+      --env MultipleCombat --scenario multiple_selfplay
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_actor(ckpt_dir: str, name: str) -> dict:
+    from neuralplane_tpu.utils.checkpoint import load_pytree
+    for fname in (f"actor_{name}.pkl", f"state_{name}.pkl"):
+        path = os.path.join(ckpt_dir, fname)
+        if os.path.exists(path):
+            blob = load_pytree(path)
+            if isinstance(blob, dict) and "train_state" in blob:
+                blob = blob["train_state"].params["actor"]
+            elif isinstance(blob, dict) and "actor" in blob:
+                blob = blob["actor"]
+            return jax.tree_util.tree_map(jnp.asarray, blob)
+    raise FileNotFoundError(f"no actor_{name}.pkl / state_{name}.pkl "
+                            f"in {ckpt_dir}")
+
+
+def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
+                 steps: int, key: jax.Array):
+    """Deterministic match; returns (ego per-episode avg, opp per-episode
+    avg, episodes ended) following the reference per-episode protocol."""
+    num_envs, m = env.num_envs, env.num_agents
+    half = m // 2
+    n_ego = num_envs * half
+
+    def split(x):
+        g = x.reshape(num_envs, m, *x.shape[1:])
+        return (g[:, :half].reshape(n_ego, *x.shape[1:]),
+                g[:, half:].reshape(n_ego, *x.shape[1:]))
+
+    def merge(e, o):
+        eg = e.reshape(num_envs, half, *e.shape[1:])
+        og = o.reshape(num_envs, half, *o.shape[1:])
+        return jnp.concatenate([eg, og], axis=1).reshape(
+            num_envs * m, *e.shape[1:])
+
+    env_state, obs = env.reset(key)
+    ego_obs, opp_obs = split(obs)
+    h_e, _ = policy.init_rnn_states(n_ego)
+    ones = jnp.ones((n_ego, 1), jnp.float32)
+
+    @jax.jit
+    def run(pe, po, env_state, ego_obs, opp_obs):
+        zero = jnp.zeros((n_ego, 1), jnp.float32)
+        carry0 = (env_state, ego_obs, opp_obs, h_e, jnp.zeros_like(h_e),
+                  ones, zero, zero)
+
+        def body(c, _):
+            env_state, e_obs, o_obs, he, ho, masks, cum_e, cum_o = c
+            a_e, he = policy.act({"actor": pe}, e_obs, he, masks,
+                                 deterministic=True)
+            a_o, ho = policy.act({"actor": po}, o_obs, ho, masks,
+                                 deterministic=True)
+            env_state, out = env.step(env_state, merge(a_e, a_o))
+            reset_env = out.done | out.bad_done | out.exceed_time_limit
+            per_env = jnp.any(reset_env.reshape(num_envs, m), axis=1)
+            reset = jnp.repeat(per_env, half)[:, None].astype(jnp.float32)
+            keep = (1.0 - reset)[:, :, None]
+            e_obs, o_obs = split(out.obs)
+            e_rew, o_rew = split(out.reward[:, None])
+            cum_e, cum_o = cum_e + e_rew, cum_o + o_rew
+            emit = (cum_e * reset, cum_o * reset, reset)
+            c = (env_state, e_obs, o_obs, he * keep, ho * keep,
+                 1.0 - reset, cum_e * (1 - reset), cum_o * (1 - reset))
+            return c, emit
+
+        _, (ee, eo, resets) = jax.lax.scan(body, carry0, None, length=steps)
+        ends = resets.sum()
+        denom = jnp.maximum(ends, 1.0)
+        return ee.sum() / denom, eo.sum() / denom, ends / half
+
+    e, o, ends = run(ego_actor, opp_actor, env_state, ego_obs, opp_obs)
+    return float(e), float(o), float(ends)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--final", default="latest",
+                   help="checkpoint name of the FINAL policy")
+    p.add_argument("--opponents", nargs="+", required=True,
+                   help="historical checkpoint names (pool episode numbers)")
+    p.add_argument("--env", default="MultipleCombat",
+                   choices=["SingleCombat", "MultipleCombat"])
+    p.add_argument("--scenario", default=None)
+    p.add_argument("--num-envs", type=int, default=200)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tie-band", type=float, default=50.0)
+    # network shape must match the checkpoints (train CLI defaults)
+    p.add_argument("--hidden-size", default="128 128")
+    p.add_argument("--act-hidden-size", default="128 128")
+    p.add_argument("--recurrent-hidden-size", type=int, default=128)
+    args = p.parse_args()
+
+    from neuralplane_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from neuralplane_tpu.algorithms.ppo import PPOPolicy
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.envs import MultipleCombatEnv, SingleCombatEnv
+
+    if args.env == "SingleCombat":
+        env = SingleCombatEnv(num_envs=args.num_envs,
+                              config=args.scenario or "selfplay")
+    else:
+        env = MultipleCombatEnv(num_envs=args.num_envs,
+                                config=args.scenario or "multiple_selfplay")
+    cfg = RLConfig(
+        hidden_sizes=tuple(int(x) for x in args.hidden_size.split()),
+        act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
+        recurrent_hidden_size=args.recurrent_hidden_size)
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+    final = load_actor(args.ckpt_dir, args.final)
+
+    rows = []
+    for name in args.opponents:
+        opp = load_actor(args.ckpt_dir, name)
+        e, o, ends = head_to_head(env, policy, final, opp, args.steps,
+                                  jax.random.PRNGKey(args.seed))
+        diff = e - o
+        verdict = ("WIN" if diff > args.tie_band
+                   else "LOSS" if diff < -args.tie_band else "tie")
+        row = {"opponent": name, "ego_avg": round(e, 3),
+               "opp_avg": round(o, 3), "diff": round(diff, 3),
+               "episodes": ends, "verdict": verdict}
+        rows.append(row)
+        print(json.dumps(row))
+    print(json.dumps({"ladder": rows}))
+
+
+if __name__ == "__main__":
+    main()
