@@ -59,3 +59,17 @@ def test_eval_runs(tmp_path):
     runner = F16SimRunner(env, cfg, run_dir=str(tmp_path))
     out = runner.eval(num_steps=8)
     assert np.isfinite(out["eval_average_episode_rewards"])
+
+
+def test_render_index_resolution(tmp_path):
+    """--render-index/--render-opponent-index resolve pool entries inside a
+    run dir (reference config.py:284-285 semantics)."""
+    from neuralplane_tpu.scripts.render import _resolve_pool_ckpt
+    (tmp_path / "actor_3.pkl").write_bytes(b"x")
+    (tmp_path / "state_latest.pkl").write_bytes(b"x")
+    assert _resolve_pool_ckpt(str(tmp_path), "3").endswith("actor_3.pkl")
+    assert _resolve_pool_ckpt(str(tmp_path),
+                              "latest").endswith("state_latest.pkl")
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        _resolve_pool_ckpt(str(tmp_path), "99")
