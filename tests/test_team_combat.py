@@ -188,3 +188,62 @@ def test_single_combat_unchanged():
     assert obs.shape == (4, 15)
     _, out = env.step(state, jnp.zeros((4, 4)))
     assert out.obs.shape == (4, 15) and out.active is None
+
+
+def test_vec_wrapper_over_team_env():
+    """The GPUVecEnv-analogue host wrapper speaks the [N, M, dim] contract
+    over the team env too (reference wraps combat envs the same way,
+    `scripts/train/train_F16sim.py:23-54`)."""
+    from neuralplane_tpu.envs.wrappers import GymVecEnv
+    env = MultipleCombatEnv(num_envs=2)
+    vec = GymVecEnv(env, seed=0)
+    obs = vec.reset()
+    assert obs.shape == (2, 4, env.num_observation)
+    out = vec.step(np.zeros((2, 4, 4), np.float32))
+    obs, reward, done, bad_done, exceed, info = out
+    assert obs.shape == (2, 4, env.num_observation)
+    assert reward.shape == (2, 4, 1) or reward.shape == (2, 4)
+    assert np.isfinite(obs).all()
+
+
+def test_mappo_active_masks_record_death(tmp_path):
+    """A mid-episode death must appear as active_masks = 0 for that agent
+    in the collected MAPPO batch (SharedReplayBuffer active_masks
+    semantics) while the env group keeps running."""
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.runner import MAPPOSelfplayRunner
+
+    cfg = RLConfig(buffer_size=4, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1)
+    env = MultipleCombatEnv(num_envs=2)
+    runner = MAPPOSelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    carry = runner.init_carry(jax.random.PRNGKey(0))
+    # place group 0 far from any termination, then kill ego agent 1
+    pos = [(0.0, 0.0, 10000.0), (0.0, 8000.0, 10000.0),
+           (9000.0, 0.0, 10000.0), (20000.0, 8000.0, 10000.0)]
+    s = np.asarray(carry.env_state.model.s).copy()
+    for i, p in enumerate(pos):
+        s[i, 0:3] = p
+        s[i, 3:6] = 0.0
+        s[i, 6:9] = [1000.0, 0.0, 0.0]
+        s[i, 9:12] = 0.0
+    env_state = carry.env_state.replace(
+        model=carry.env_state.model.replace(s=jnp.asarray(s)),
+        blood=carry.env_state.blood.at[1].set(0.0))
+    carry = carry.replace(env_state=env_state)
+
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    am = np.asarray(batch.active_masks)     # [T+1, n_ego, 1]
+    # ego agent index 1 of group 0 is dead from step 1 onward (step 0's
+    # active_masks predate the kill becoming visible)
+    assert am[0, 1, 0] == 1.0
+    assert (am[1:, 1, 0] == 0.0).all()
+    # everyone else stays active (their groups hit no termination)
+    assert am[:, 0, 0].all() and am[:, 2:, 0].all()
+    # the trainer consumes the batch without issue
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(v), k
