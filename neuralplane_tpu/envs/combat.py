@@ -221,21 +221,16 @@ class SingleCombatEnv:
                 for name, (b, d, e) in conds}
         return done, bad, exceed, info
 
-    # --- step ---
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, state: CombatState, action: jnp.ndarray
-             ) -> Tuple[CombatState, StepOutput]:
-        state = self._masked_reset(state)
-        action = jnp.clip(action, -1.0, 1.0)
-        cfg = self.config
-
+    # --- inner FDM/PID loop (shared by 1v1 and nvn steps) ---
+    def _inner_fdm(self, action: jnp.ndarray):
+        """Scan body: demand smoothing -> PID stabilize -> throttle lag ->
+        dynamics integrate (singlecombat_env.py:244-261). yaw_rate demand
+        stays 0 - the rudder loop damps yaw rate (reference sets a yaw_dem
+        it never consumes)."""
         def inner(carry, _):
             mstate, cst = carry
             xdot = self.model.extended_state(mstate)
             data = flight_data(self.model, mstate, xdot)
-            # demand smoothing (singlecombat_env.py:246-250); yaw_rate demand
-            # stays 0 - the rudder loop damps yaw rate (reference sets a
-            # yaw_dem it never consumes)
             cst = cst.replace(
                 roll_dem=0.9 * cst.roll_dem + 0.1 * action[:, 1] * 4 * PI / 9,
                 pitch_dem=0.9 * cst.pitch_dem + 0.1 * action[:, 2] * PI / 12,
@@ -246,9 +241,17 @@ class SingleCombatEnv:
                            jnp.zeros_like(T)], axis=1)
             mstate = self.model.raw_control_update(mstate, u)
             return (mstate, cst), None
+        return inner
+
+    # --- step ---
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, state: CombatState, action: jnp.ndarray
+             ) -> Tuple[CombatState, StepOutput]:
+        state = self._masked_reset(state)
+        action = jnp.clip(action, -1.0, 1.0)
 
         (mstate, cst), _ = jax.lax.scan(
-            inner, (state.model, state.controller), None,
+            self._inner_fdm(action), (state.model, state.controller), None,
             length=self.inner_steps)
 
         step_count = state.step_count + 1
@@ -384,23 +387,8 @@ class MultipleCombatEnv(SingleCombatEnv):
         E, m, h = self.num_envs, self.num_agents, self.half
         alive_pre = state.blood > 0.0                        # [n]
 
-        def inner(carry, _):
-            mstate, cst = carry
-            xdot = self.model.extended_state(mstate)
-            data = flight_data(self.model, mstate, xdot)
-            cst = cst.replace(
-                roll_dem=0.9 * cst.roll_dem + 0.1 * action[:, 1] * 4 * PI / 9,
-                pitch_dem=0.9 * cst.pitch_dem + 0.1 * action[:, 2] * PI / 12,
-                yaw_dem=wrap_PI(mstate.s[:, 5] + action[:, 3] * PI / 60))
-            cst = self.controller.stabilize(cst, data)
-            T = 0.9 * mstate.u[:, 0] + 0.1 * action[:, 0] * THRUST_SCALE
-            u = jnp.stack([T, -cst.el, -cst.ail, -cst.rud,
-                           jnp.zeros_like(T)], axis=1)
-            mstate = self.model.raw_control_update(mstate, u)
-            return (mstate, cst), None
-
         (mstate, cst), _ = jax.lax.scan(
-            inner, (state.model, state.controller), None,
+            self._inner_fdm(action), (state.model, state.controller), None,
             length=self.inner_steps)
 
         # dead agents are frozen where they died (no flight, no actuator)

@@ -76,21 +76,18 @@ class MAPPOSelfplayRunner(SelfplayRunner):
 
         ego_obs, opp_obs = self._split(out.obs)
         ego_rew, opp_rew = self._split(out.reward[:, None])
-        ego_done, _ = self._split((out.done | out.bad_done)[:, None])
-        # per-AGENT liveness at the NEXT obs; recorded one step later like
-        # masks (SharedReplayBuffer: active_masks[t] = alive when ACTING at
-        # step t, i.e. 1 - done_{t-1} - the trainer weights step-t entropy/
-        # logp by it, so storing this step's done at index t would zero the
-        # terminal action and leave the boundary action weighted)
-        next_active = 1.0 - ego_done.astype(jnp.float32)
+        # per-AGENT liveness at the NEXT obs (SharedReplayBuffer
+        # active_masks semantics): team envs expose out.active, so a
+        # shot-down agent is inactive mid-episode while its env group keeps
+        # running; an env-group reset revives everyone (the reference sets
+        # active_masks[dones_env] = 1). In these envs any per-agent done is
+        # env-level (group reset), so liveness is the only mid-episode
+        # inactivation source.
         if out.active is not None:
-            # team envs expose per-agent liveness: a shot-down teammate is
-            # inactive mid-episode even though the env group keeps running
-            ego_alive, _ = self._split(out.active[:, None])
-            next_active = next_active * ego_alive
-        # an env-group reset revives everyone for the next episode
-        next_active = jnp.maximum(next_active,
-                                  reset_env.astype(jnp.float32))
+            base, _ = self._split(out.active[:, None])
+        else:
+            base = jnp.ones_like(carry.active_masks)
+        next_active = jnp.maximum(base, reset_env.astype(jnp.float32))
         step_data = dict(
             obs=carry.ego_obs, share_obs=cent_obs, actions=actions,
             rewards=ego_rew, opp_rewards=opp_rew, masks=carry.ego_masks,

@@ -32,6 +32,30 @@ from ..utils.checkpoint import load_pytree, save_pytree
 from .base import Runner
 
 
+def team_split(env, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat [n, ...] -> (ego [n/2, ...], opp [n/2, ...]) team halves for any
+    combat env (first half of each group = ego team)."""
+    ne, m = env.num_envs, env.num_agents
+    h = m // 2
+    g = x.reshape(ne, m, *x.shape[1:])
+    return (g[:, :h].reshape(ne * h, *x.shape[1:]),
+            g[:, h:].reshape(ne * h, *x.shape[1:]))
+
+
+def team_merge(env, ego: jnp.ndarray, opp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`team_split`."""
+    ne, m = env.num_envs, env.num_agents
+    h = m // 2
+    e = ego.reshape(ne, h, *ego.shape[1:])
+    o = opp.reshape(ne, h, *opp.shape[1:])
+    return jnp.concatenate([e, o], axis=1).reshape(ne * m, *ego.shape[1:])
+
+
+def pool_slices(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[n_ego, ...] -> [k, n_ego/k, ...] opponent-pool slices."""
+    return x.reshape(k, x.shape[0] // k, *x.shape[1:])
+
+
 @struct.dataclass
 class SelfplayCarry:
     env_state: object
@@ -103,21 +127,13 @@ class SelfplayRunner(Runner):
 
     # ---- ego/opponent split helpers (flat [n] <-> teams) ----
     def _split(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        g = x.reshape(self.num_envs, self.num_agents, *x.shape[1:])
-        ego = g[:, :self.half].reshape(self.n_ego, *x.shape[1:])
-        opp = g[:, self.half:].reshape(self.n_ego, *x.shape[1:])
-        return ego, opp
+        return team_split(self.env, x)
 
     def _merge(self, ego: jnp.ndarray, opp: jnp.ndarray) -> jnp.ndarray:
-        e = ego.reshape(self.num_envs, self.half, *ego.shape[1:])
-        o = opp.reshape(self.num_envs, self.half, *opp.shape[1:])
-        return jnp.concatenate([e, o], axis=1).reshape(
-            self.num_envs * self.num_agents, *ego.shape[1:])
+        return team_merge(self.env, ego, opp)
 
     def _opp_slices(self, x: jnp.ndarray) -> jnp.ndarray:
-        """[n_ego, ...] -> [K, n_ego/K, ...] opponent-pool slices."""
-        return x.reshape(self.num_opponents, self.n_ego // self.num_opponents,
-                         *x.shape[1:])
+        return pool_slices(x, self.num_opponents)
 
     # ---- rollout ----
     def init_carry(self, key: jax.Array) -> SelfplayCarry:
@@ -231,22 +247,14 @@ class SelfplayRunner(Runner):
         half = num_agents // 2
         n_ego = num_envs * half
         K = self.num_opponents
-        assert n_ego % K == 0, (
-            f"eval n_ego={n_ego} must divide into {K} opponent slices")
+        # whole env GROUPS must map to one opponent each, or a single match
+        # would mix two pool policies and split its reward attribution
+        assert num_envs % K == 0, (
+            f"eval num_envs={num_envs} must divide into {K} opponent slices")
 
-        def split(x):
-            g = x.reshape(num_envs, num_agents, *x.shape[1:])
-            return (g[:, :half].reshape(n_ego, *x.shape[1:]),
-                    g[:, half:].reshape(n_ego, *x.shape[1:]))
-
-        def merge(e, o):
-            eg = e.reshape(num_envs, half, *e.shape[1:])
-            og = o.reshape(num_envs, half, *o.shape[1:])
-            return jnp.concatenate([eg, og], axis=1).reshape(
-                num_envs * num_agents, *e.shape[1:])
-
-        def slices(x):
-            return x.reshape(K, n_ego // K, *x.shape[1:])
+        split = functools.partial(team_split, env)
+        merge = functools.partial(team_merge, env)
+        slices = functools.partial(pool_slices, k=K)
 
         names = [choose_opponent(self.cfg.selfplay_algorithm,
                                  self.policy_pool, self.rng)

@@ -94,7 +94,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-interval", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=5)
     p.add_argument("--use-eval", action="store_true")
-    p.add_argument("--n-eval-rollout-threads", type=int, default=1)
+    p.add_argument("--n-eval-rollout-threads", type=int, default=None,
+                   help="build a dedicated eval env with this many envs "
+                   "(reference default 1); when omitted, ELO eval plays on "
+                   "the training env (full episode statistics)")
     p.add_argument("--eval-interval", type=int, default=25)
     p.add_argument("--eval-episodes", type=int, default=32)
     p.add_argument("--use-tensorboard", action="store_true")
@@ -141,7 +144,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         elo_tie_band=args.elo_tie_band,
         save_interval=args.save_interval, log_interval=args.log_interval,
         use_eval=args.use_eval,
-        n_eval_rollout_threads=args.n_eval_rollout_threads,
+        n_eval_rollout_threads=args.n_eval_rollout_threads or 1,
         eval_interval=args.eval_interval, eval_episodes=args.eval_episodes,
     )
 
@@ -176,12 +179,21 @@ def main(argv=None) -> None:
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
     args = get_parser().parse_args(argv)
+    if (args.env_name == "MultipleCombat" and args.use_selfplay
+            and args.algorithm_name != "mappo"):
+        raise SystemExit(
+            "MultipleCombat self-play requires --algorithm-name mappo: the "
+            "team env has mid-episode deaths, and only the MAPPO runner's "
+            "active_masks stop dead agents' frozen-corpse transitions from "
+            "training at full weight")
     cfg = args_to_config(args)
     env = make_env(args)
     # dedicated eval env (reference make_eval_env, train_F16sim.py:40-54):
-    # ELO eval plays on it with its own num_envs
+    # built only when --n-eval-rollout-threads is given — a silent default
+    # of 1 env would reduce each ELO eval to single-episode noise; without
+    # the flag, eval plays on the training env's full batch
     eval_env = (make_env(args, num_envs=args.n_eval_rollout_threads)
-                if args.use_eval else None)
+                if args.use_eval and args.n_eval_rollout_threads else None)
 
     run_dir = args.run_dir or os.path.join(
         "runs", f"{time.strftime('%Y-%m-%d_%H-%M-%S')}_{args.env_name}_"

@@ -32,38 +32,29 @@ import numpy as np
 
 
 def load_actor(ckpt_dir: str, name: str) -> dict:
+    """Resolve + load one actor param tree (same resolution as the render
+    CLI's --render-index)."""
+    from neuralplane_tpu.scripts.render import _resolve_pool_ckpt
     from neuralplane_tpu.utils.checkpoint import load_pytree
-    for fname in (f"actor_{name}.pkl", f"state_{name}.pkl"):
-        path = os.path.join(ckpt_dir, fname)
-        if os.path.exists(path):
-            blob = load_pytree(path)
-            if isinstance(blob, dict) and "train_state" in blob:
-                blob = blob["train_state"].params["actor"]
-            elif isinstance(blob, dict) and "actor" in blob:
-                blob = blob["actor"]
-            return jax.tree_util.tree_map(jnp.asarray, blob)
-    raise FileNotFoundError(f"no actor_{name}.pkl / state_{name}.pkl "
-                            f"in {ckpt_dir}")
+    blob = load_pytree(_resolve_pool_ckpt(ckpt_dir, name))
+    if isinstance(blob, dict) and "train_state" in blob:
+        blob = blob["train_state"].params["actor"]
+    elif isinstance(blob, dict) and "actor" in blob:
+        blob = blob["actor"]
+    return jax.tree_util.tree_map(jnp.asarray, blob)
 
 
 def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
                  steps: int, key: jax.Array):
     """Deterministic match; returns (ego per-episode avg, opp per-episode
     avg, episodes ended) following the reference per-episode protocol."""
+    from neuralplane_tpu.runner.selfplay import team_merge, team_split
+    import functools
     num_envs, m = env.num_envs, env.num_agents
     half = m // 2
     n_ego = num_envs * half
-
-    def split(x):
-        g = x.reshape(num_envs, m, *x.shape[1:])
-        return (g[:, :half].reshape(n_ego, *x.shape[1:]),
-                g[:, half:].reshape(n_ego, *x.shape[1:]))
-
-    def merge(e, o):
-        eg = e.reshape(num_envs, half, *e.shape[1:])
-        og = o.reshape(num_envs, half, *o.shape[1:])
-        return jnp.concatenate([eg, og], axis=1).reshape(
-            num_envs * m, *e.shape[1:])
+    split = functools.partial(team_split, env)
+    merge = functools.partial(team_merge, env)
 
     env_state, obs = env.reset(key)
     ego_obs, opp_obs = split(obs)
