@@ -256,6 +256,11 @@ class SelfplayRunner(Runner):
         merge = functools.partial(team_merge, env)
         slices = functools.partial(pool_slices, k=K)
 
+        # one compiled eval program per (env, horizon): rebuilding the jit
+        # closure every eval retraces + re-looks-up the executable each time
+        cache_key = (id(env), steps)
+        cached = getattr(self, "_eval_run_cache", {}).get(cache_key)
+
         names = [choose_opponent(self.cfg.selfplay_algorithm,
                                  self.policy_pool, self.rng)
                  for _ in range(K)]
@@ -272,7 +277,7 @@ class SelfplayRunner(Runner):
                               opp_masks=ones, bad_masks=ones, key=k_reset)
 
         @jax.jit
-        def run(params, opp_params, carry):
+        def _run(params, opp_params, carry):
             zero = jnp.zeros((n_ego, 1), jnp.float32)
 
             def body(state, _):
@@ -331,8 +336,12 @@ class SelfplayRunner(Runner):
             ego = slices(e_ego.sum(0)).sum(axis=(1, 2)) / denom
             opp = slices(e_opp.sum(0)).sum(axis=(1, 2)) / denom
             return ego, opp, ends.sum() / half
-        ego_rew, opp_rew, ends = run(self.train_state.params, opp_params,
-                                     carry)
+        if cached is None:
+            if not hasattr(self, "_eval_run_cache"):
+                self._eval_run_cache = {}
+            self._eval_run_cache[cache_key] = cached = _run
+        ego_rew, opp_rew, ends = cached(self.train_state.params, opp_params,
+                                        carry)
         ego_rew, opp_rew = np.asarray(ego_rew), np.asarray(opp_rew)
         opp_elo = np.array([self.policy_pool[n] for n in names])
         self.latest_elo, new_opp = elo_update(self.latest_elo, opp_elo,
