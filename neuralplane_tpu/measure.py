@@ -38,6 +38,10 @@ def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 
+    # allocator stats when the runtime exposes them (the axon relay does
+    # not: memory_stats() is None there); the analytic resident footprint
+    # (env state + step output + aero weights nbytes) is always reported so
+    # the memory column of the benchmark never goes missing
     mem_mb = float("nan")
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -45,6 +49,10 @@ def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
             mem_mb = stats["bytes_in_use"] / 1024 ** 2
     except Exception:
         pass
+    leaves = (jax.tree_util.tree_leaves(state)
+              + jax.tree_util.tree_leaves(out.obs)
+              + jax.tree_util.tree_leaves(env.model.weights))
+    resident_mb = sum(x.nbytes for x in leaves) / 1024 ** 2
 
     return {
         "n": n,
@@ -53,6 +61,7 @@ def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
         "s_per_step": elapsed / steps,
         "agent_steps_per_s": n * steps / elapsed,
         "device_mem_mb": mem_mb,
+        "resident_state_mb": resident_mb,
     }
 
 
