@@ -97,14 +97,46 @@ class SelfplayRunner(Runner):
         self.rng = np.random.default_rng(cfg.seed)
         self.latest_elo = cfg.init_elo
         self.policy_pool: Dict[str, float] = {}
-        # seed the pool with the initial policy
-        self._save_pool_entry("0")
+        # Resuming (e.g. a supervisor leg restart): import the previous
+        # run's opponent pool so FSP/PFSP keep their historical diversity -
+        # without this a mid-run restart silently degrades self-play to
+        # playing only the resumed policy. Pool ELO ratings are not
+        # checkpointed; imported entries re-enter at the current rating.
+        if model_dir is not None:
+            self._import_pool(os.path.dirname(os.path.abspath(model_dir)))
+        if not self.policy_pool:
+            # fresh run: seed the pool with the initial policy
+            self._save_pool_entry("0")
+        newest = max(self.policy_pool,
+                     key=lambda n: int(n) if n.isdigit() else -1)
         self.opponent_params = self._stack_opponents(
-            ["0"] * self.num_opponents)
+            [newest] * self.num_opponents)
 
     # ---- pool management ----
     def _pool_path(self, name: str) -> str:
         return os.path.join(self.save_dir, f"actor_{name}.pkl")
+
+    def _import_pool(self, src_dir: str) -> None:
+        """Copy a previous run's actor_*.pkl pool into this run's pool."""
+        import shutil
+        if not os.path.isdir(src_dir):
+            return
+        for fname in sorted(os.listdir(src_dir)):
+            if not (fname.startswith("actor_") and fname.endswith(".pkl")):
+                continue
+            name = fname[len("actor_"):-len(".pkl")]
+            dst = self._pool_path(name)
+            if os.path.abspath(os.path.join(src_dir, fname)) != \
+                    os.path.abspath(dst):
+                shutil.copy(os.path.join(src_dir, fname), dst)
+            self.policy_pool[name] = self.latest_elo
+        if self.policy_pool:
+            logging.info("Imported %d pool entries from %s",
+                         len(self.policy_pool), src_dir)
+
+    def _next_pool_name(self) -> str:
+        nums = [int(n) for n in self.policy_pool if n.isdigit()]
+        return str(max(nums) + 1 if nums else 0)
 
     def _save_pool_entry(self, name: str) -> None:
         save_pytree(self._pool_path(name), self.train_state.params["actor"])
@@ -385,7 +417,10 @@ class SelfplayRunner(Runner):
 
             if episode % cfg.save_interval == 0 or episode == episodes - 1:
                 self.save("latest")
-                self._save_pool_entry(str(episode + 1))
+                # monotone pool naming (not episode-based): resumed legs
+                # continue numbering after the imported pool instead of
+                # overwriting its early entries
+                self._save_pool_entry(self._next_pool_name())
                 # re-sample training opponents from the grown pool. Fixed
                 # reference defect: the reference only calls reset_opponent
                 # at the END of eval() (selfplay_F16sim_runner.py:246), so

@@ -158,3 +158,28 @@ def test_eval_elo_honors_eval_env(tmp_path):
     carry, batch, _ = runner.collect(runner.train_state.params,
                                      runner.opponent_params, carry)
     assert batch.obs.shape[1] == env.num_envs * env.num_agents // 2
+
+
+def test_selfplay_pool_survives_resume(tmp_path):
+    """Supervisor leg restarts must not lose the opponent pool: a runner
+    resumed with --model-dir imports the previous run's actor_*.pkl entries
+    and continues pool numbering after them."""
+    cfg = RLConfig(buffer_size=8, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1, num_env_steps=8,
+                   save_interval=100, log_interval=1)
+    env = SingleCombatEnv(num_envs=2)
+    r1 = SelfplayRunner(env, cfg, run_dir=str(tmp_path / "leg0"))
+    r1._save_pool_entry("1")
+    r1._save_pool_entry("2")
+    ckpt = r1.save("latest")
+
+    r2 = SelfplayRunner(env, cfg, run_dir=str(tmp_path / "leg1"),
+                        model_dir=ckpt)
+    assert set(r2.policy_pool) >= {"0", "1", "2"}
+    assert r2._next_pool_name() == "3"
+    # imported entries are loadable for opponent stacking
+    r2.opponent_params = r2._stack_opponents(["1"])
+    out = r2.eval_elo(num_steps=4)
+    assert np.isfinite(out["latest_elo"])
