@@ -99,3 +99,36 @@ def test_multiproc_matches_single_process(multiproc_summaries):
     for k, v in metrics.items():
         np.testing.assert_allclose(float(v), s0["metrics"][k], rtol=1e-4,
                                    atol=1e-6, err_msg=k)
+
+
+def test_two_process_team_combat():
+    """The team-combat MAPPO stack runs over the 2-process global mesh too:
+    combat groups shard whole along the env axis, so the team game needs no
+    cross-process traffic; both processes report identical results."""
+    import tempfile
+    out_dir = tempfile.mkdtemp(prefix="mpteam")
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ""
+    procs, outs = [], []
+    for pid in range(2):
+        out = os.path.join(out_dir, f"p{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--num-processes", "2",
+             "--process-id", str(pid), "--env-name", "MultipleCombat",
+             "--coordinator", f"localhost:{port}", "--out", out],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    summaries = []
+    for proc, out in zip(procs, outs):
+        stdout, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, stdout.decode()[-2000:]
+        with open(out) as f:
+            summaries.append(json.load(f))
+    s0, s1 = summaries
+    assert s0["global_devices"] == 8
+    assert s0["reward_sum"] == s1["reward_sum"]
+    assert s0["metrics"] == s1["metrics"]
+    for v in s0["metrics"].values():
+        assert np.isfinite(v)

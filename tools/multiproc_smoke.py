@@ -45,6 +45,11 @@ def main() -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--num-envs", type=int, default=16)
     p.add_argument("--buffer-size", type=int, default=8)
+    p.add_argument("--env-name", default="Control",
+                   choices=["Control", "MultipleCombat"],
+                   help="MultipleCombat runs the team-MAPPO stack: combat "
+                   "groups shard whole (env-axis), so the team game needs "
+                   "no cross-process traffic either")
     args = p.parse_args()
 
     from neuralplane_tpu.parallel import init_distributed, make_global_mesh
@@ -56,21 +61,32 @@ def main() -> None:
 
     import jax.numpy as jnp  # noqa: F401
     from neuralplane_tpu.algorithms.rl_config import RLConfig
-    from neuralplane_tpu.envs import ControlEnv
-    from neuralplane_tpu.runner import F16SimRunner
+    from neuralplane_tpu.parallel import shard_env_state
 
     mesh = make_global_mesh()
     cfg = RLConfig(buffer_size=args.buffer_size, data_chunk_length=4,
                    ppo_epoch=2, num_mini_batch=1, hidden_sizes=(16,),
-                   act_hidden_sizes=(8,), recurrent_hidden_size=8)
-    env = ControlEnv(num_envs=args.num_envs, config="heading")
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1)
     run_dir = os.path.join(os.path.dirname(args.out),
                            f"run_p{args.process_id}")
-    runner = F16SimRunner(env, cfg, run_dir=run_dir, mesh=mesh)
-
-    carry = runner._shard_carry(runner.init_carry(jax.random.PRNGKey(0)))
-    carry, batch, (done_count, _) = runner.collect(
-        runner.train_state.params, carry)
+    if args.env_name == "MultipleCombat":
+        from neuralplane_tpu.envs import MultipleCombatEnv
+        from neuralplane_tpu.runner import MAPPOSelfplayRunner
+        env = MultipleCombatEnv(num_envs=args.num_envs)
+        runner = MAPPOSelfplayRunner(env, cfg, run_dir=run_dir, mesh=mesh)
+        carry = shard_env_state(runner.init_carry(jax.random.PRNGKey(0)),
+                                mesh)
+        carry, batch, done_count = runner.collect(
+            runner.train_state.params, runner.opponent_params, carry)
+    else:
+        from neuralplane_tpu.envs import ControlEnv
+        from neuralplane_tpu.runner import F16SimRunner
+        env = ControlEnv(num_envs=args.num_envs, config="heading")
+        runner = F16SimRunner(env, cfg, run_dir=run_dir, mesh=mesh)
+        carry = runner._shard_carry(runner.init_carry(jax.random.PRNGKey(0)))
+        carry, batch, (done_count, _) = runner.collect(
+            runner.train_state.params, carry)
     metrics = runner.train(batch)
 
     # scalar reductions are replicated -> addressable on every process
