@@ -81,18 +81,30 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
             e_obs, o_obs = split(out.obs)
             e_rew, o_rew = split(out.reward[:, None])
             cum_e, cum_o = cum_e + e_rew, cum_o + o_rew
-            emit = (cum_e * reset, cum_o * reset, reset)
+            # decisive outcomes at episode end: `done` fires on the side
+            # that wiped/outlived the other (shutdown win; 1v1 pairwise
+            # rule at h=1), `bad_done` on the side that died/violated
+            e_done, o_done = split(out.done[:, None])
+            e_bad, o_bad = split(out.bad_done[:, None])
+            e_win = jnp.any((e_done & reset.astype(bool)).reshape(
+                num_envs, half), axis=1).astype(jnp.float32)
+            o_win = jnp.any((o_done & reset.astype(bool)).reshape(
+                num_envs, half), axis=1).astype(jnp.float32)
+            emit = (cum_e * reset, cum_o * reset, reset, e_win, o_win)
             c = (env_state, e_obs, o_obs, he * keep, ho * keep,
                  1.0 - reset, cum_e * (1 - reset), cum_o * (1 - reset))
             return c, emit
 
-        _, (ee, eo, resets) = jax.lax.scan(body, carry0, None, length=steps)
-        ends = resets.sum()
-        denom = jnp.maximum(ends, 1.0)
-        return ee.sum() / denom, eo.sum() / denom, ends / half
+        _, (ee, eo, resets, ew, ow) = jax.lax.scan(body, carry0, None,
+                                                   length=steps)
+        ends = resets.sum() / half
+        denom = jnp.maximum(resets.sum(), 1.0)
+        return (ee.sum() / denom, eo.sum() / denom, ends,
+                ew.sum(), ow.sum())
 
-    e, o, ends = run(ego_actor, opp_actor, env_state, ego_obs, opp_obs)
-    return float(e), float(o), float(ends)
+    e, o, ends, ew, ow = run(ego_actor, opp_actor, env_state, ego_obs,
+                             opp_obs)
+    return float(e), float(o), float(ends), float(ew), float(ow)
 
 
 def main() -> None:
@@ -137,14 +149,16 @@ def main() -> None:
     rows = []
     for name in args.opponents:
         opp = load_actor(args.ckpt_dir, name)
-        e, o, ends = head_to_head(env, policy, final, opp, args.steps,
-                                  jax.random.PRNGKey(args.seed))
+        e, o, ends, ew, ow = head_to_head(env, policy, final, opp,
+                                          args.steps,
+                                          jax.random.PRNGKey(args.seed))
         diff = e - o
         verdict = ("WIN" if diff > args.tie_band
                    else "LOSS" if diff < -args.tie_band else "tie")
         row = {"opponent": name, "ego_avg": round(e, 3),
                "opp_avg": round(o, 3), "diff": round(diff, 3),
-               "episodes": ends, "verdict": verdict}
+               "episodes": ends, "ego_wins": ew, "opp_wins": ow,
+               "verdict": verdict}
         rows.append(row)
         print(json.dumps(row))
     print(json.dumps({"ladder": rows}))
