@@ -45,9 +45,16 @@ def load_actor(ckpt_dir: str, name: str) -> dict:
 
 
 def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
-                 steps: int, key: jax.Array):
-    """Deterministic match; returns (ego per-episode avg, opp per-episode
-    avg, episodes ended) following the reference per-episode protocol."""
+                 steps: int, key: jax.Array, stochastic: str = "none"):
+    """Head-to-head match; returns (ego per-episode avg, opp per-episode
+    avg, episodes ended, ego wins, opp wins) following the reference
+    per-episode protocol (`selfplay_F16sim_runner.py:197-228`).
+
+    stochastic: "none" = both deterministic (the reference eval protocol);
+    "both" = both SAMPLE actions — the training-time behavioral matchup
+    (an untrained checkpoint's deterministic mode is a degenerate
+    straight-line flyer; its stochastic policy is what self-play actually
+    trained against)."""
     from neuralplane_tpu.runner.selfplay import team_merge, team_split
     import functools
     num_envs, m = env.num_envs, env.num_agents
@@ -61,18 +68,21 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
     h_e, _ = policy.init_rnn_states(n_ego)
     ones = jnp.ones((n_ego, 1), jnp.float32)
 
+    sample = stochastic == "both"
+
     @jax.jit
-    def run(pe, po, env_state, ego_obs, opp_obs):
+    def run(pe, po, env_state, ego_obs, opp_obs, key):
         zero = jnp.zeros((n_ego, 1), jnp.float32)
         carry0 = (env_state, ego_obs, opp_obs, h_e, jnp.zeros_like(h_e),
-                  ones, zero, zero)
+                  ones, zero, zero, key)
 
         def body(c, _):
-            env_state, e_obs, o_obs, he, ho, masks, cum_e, cum_o = c
+            env_state, e_obs, o_obs, he, ho, masks, cum_e, cum_o, k = c
+            k, k1, k2 = jax.random.split(k, 3)
             a_e, he = policy.act({"actor": pe}, e_obs, he, masks,
-                                 deterministic=True)
+                                 key=k1, deterministic=not sample)
             a_o, ho = policy.act({"actor": po}, o_obs, ho, masks,
-                                 deterministic=True)
+                                 key=k2, deterministic=not sample)
             env_state, out = env.step(env_state, merge(a_e, a_o))
             reset_env = out.done | out.bad_done | out.exceed_time_limit
             per_env = jnp.any(reset_env.reshape(num_envs, m), axis=1)
@@ -92,7 +102,7 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
                 num_envs, half), axis=1).astype(jnp.float32)
             emit = (cum_e * reset, cum_o * reset, reset, e_win, o_win)
             c = (env_state, e_obs, o_obs, he * keep, ho * keep,
-                 1.0 - reset, cum_e * (1 - reset), cum_o * (1 - reset))
+                 1.0 - reset, cum_e * (1 - reset), cum_o * (1 - reset), k)
             return c, emit
 
         _, (ee, eo, resets, ew, ow) = jax.lax.scan(body, carry0, None,
@@ -103,7 +113,7 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
                 ew.sum(), ow.sum())
 
     e, o, ends, ew, ow = run(ego_actor, opp_actor, env_state, ego_obs,
-                             opp_obs)
+                             opp_obs, key)
     return float(e), float(o), float(ends), float(ew), float(ow)
 
 
@@ -121,6 +131,9 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tie-band", type=float, default=50.0)
+    p.add_argument("--stochastic", default="none", choices=["none", "both"],
+                   help="'both' = sampled actions (training-time behavioral "
+                   "matchup); 'none' = the reference deterministic protocol")
     # network shape must match the checkpoints (train CLI defaults)
     p.add_argument("--hidden-size", default="128 128")
     p.add_argument("--act-hidden-size", default="128 128")
@@ -151,7 +164,8 @@ def main() -> None:
         opp = load_actor(args.ckpt_dir, name)
         e, o, ends, ew, ow = head_to_head(env, policy, final, opp,
                                           args.steps,
-                                          jax.random.PRNGKey(args.seed))
+                                          jax.random.PRNGKey(args.seed),
+                                          stochastic=args.stochastic)
         diff = e - o
         verdict = ("WIN" if diff > args.tie_band
                    else "LOSS" if diff < -args.tie_band else "tie")
