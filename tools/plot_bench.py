@@ -73,14 +73,29 @@ def state_footprint_mb(ns) -> np.ndarray:
     return np.array(out)
 
 
+def load_chip_scaling():
+    path = os.path.join(BENCH_DIR, "chip_scaling.jsonl")
+    if not os.path.exists(path):
+        return None, None
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    rows.sort(key=lambda r: r["n"])
+    b = np.array([r["n"] for r in rows])
+    tput = np.array([r["agent_steps_per_s"] for r in rows])
+    return b, tput / tput[-1]          # strong-scaling efficiency
+
+
 def main() -> None:
     ns_tpu, t_tpu = load_sweep()
     mem_tpu = state_footprint_mb(ns_tpu)
+    b_eff, eff = load_chip_scaling()
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.4), dpi=150)
+    n_panels = 3 if b_eff is not None else 2
+    fig, axes = plt.subplots(1, n_panels, figsize=(5.5 * n_panels, 4.4),
+                             dpi=150)
+    ax1, ax2 = axes[0], axes[1]
     fig.patch.set_facecolor("white")
 
-    for ax in (ax1, ax2):
+    for ax in axes:
         ax.set_facecolor("white")
         ax.grid(True, which="major", color=GRID, linewidth=0.8, zorder=0)
         for s in ("top", "right"):
@@ -131,6 +146,31 @@ def main() -> None:
                  fontsize=9)
     ax2.set_xlim(0.7, 3e7)
     ax2.legend(loc="upper left", fontsize=8, frameon=False, labelcolor=INK)
+
+    if b_eff is not None:
+        ax3 = axes[2]
+        ax3.semilogx(b_eff, eff, "-o", color=C_TPU, linewidth=2,
+                     markersize=5, label="measured (one v5e chip)", zorder=3)
+        ax3.axhline(0.8, color=MUTED, linewidth=1, linestyle="--", zorder=2)
+        ax3.annotate("0.8 target", (b_eff[0], 0.8),
+                     textcoords="offset points", xytext=(2, 4), color=MUTED,
+                     fontsize=8)
+        # crossover: interpolate where efficiency hits 0.8
+        i = int(np.searchsorted(eff, 0.8))
+        x80 = b_eff[i - 1] + (0.8 - eff[i - 1]) / (eff[i] - eff[i - 1]) \
+            * (b_eff[i] - b_eff[i - 1])
+        ax3.axvline(x80, color=GRID, linewidth=1, zorder=1)
+        ax3.annotate(f"crossover ~{x80 / 1e3:.0f}k agents/chip",
+                     (x80, 0.35), textcoords="offset points", xytext=(4, 0),
+                     color=INK, fontsize=9)
+        ax3.set_ylim(0, 1.05)
+        ax3.set_xlabel("per-chip batch (agents)", color=INK, fontsize=10)
+        ax3.set_ylabel("strong-scaling efficiency T(b)/T(10⁶)",
+                       color=INK, fontsize=10)
+        ax3.set_title("Splitting the 10⁶-agent workload over chips",
+                      color=INK, fontsize=11, loc="left")
+        ax3.legend(loc="upper left", fontsize=8, frameon=False,
+                   labelcolor=INK)
 
     fig.tight_layout()
     for ext in ("pdf", "png"):
