@@ -247,3 +247,40 @@ def test_mappo_active_masks_record_death(tmp_path):
     metrics = runner.train(batch)
     for k, v in metrics.items():
         assert np.isfinite(v), k
+
+
+def test_ladder_probe_head_to_head(tmp_path):
+    """The evidence tool (tools/ladder_probe.py) runs a full head-to-head
+    and returns per-episode averages + decisive win counts, under both the
+    deterministic reference protocol and the behavioral (stochastic) one."""
+    import importlib.util
+    import os
+    from neuralplane_tpu.algorithms.ppo import PPOPolicy
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.utils.checkpoint import save_pytree
+
+    spec = importlib.util.spec_from_file_location(
+        "ladder_probe", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "ladder_probe.py"))
+    lp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lp)
+
+    cfg = RLConfig(hidden_sizes=(16,), act_hidden_sizes=(8,),
+                   recurrent_hidden_size=8)
+    env = MultipleCombatEnv(num_envs=2)
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+    p1 = policy.init_params(jax.random.PRNGKey(1))["actor"]
+    p2 = policy.init_params(jax.random.PRNGKey(2))["actor"]
+    save_pytree(str(tmp_path / "actor_a.pkl"), p1)
+
+    for proto in ("none", "both"):
+        e, o, ends, ew, ow = lp.head_to_head(
+            env, policy, p1, p2, steps=20, key=jax.random.PRNGKey(0),
+            stochastic=proto)
+        for v in (e, o, ends, ew, ow):
+            assert np.isfinite(v)
+        assert ew >= 0 and ow >= 0
+    # checkpoint resolution path
+    loaded = lp.load_actor(str(tmp_path), "a")
+    assert jax.tree_util.tree_structure(loaded) == \
+        jax.tree_util.tree_structure(p1)
