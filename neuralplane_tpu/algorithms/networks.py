@@ -54,6 +54,11 @@ class NetSpec:
     recurrent_hidden_size: int
     recurrent_hidden_layers: int
     gain: float
+    # exploration floor on the learnable log_std (beyond reference: its
+    # Gaussian can collapse under a long entropy-bonus anneal — measured in
+    # results/mappo_2v2, entropy ≈ -49 by 1.5e9 steps. None = no floor,
+    # exact reference behavior).
+    min_log_std: float = -1e9
 
     @staticmethod
     def from_config(cfg: RLConfig, obs_dim: int, act_dim: int) -> "NetSpec":
@@ -67,6 +72,8 @@ class NetSpec:
             recurrent_hidden_size=cfg.recurrent_hidden_size,
             recurrent_hidden_layers=cfg.recurrent_hidden_layers,
             gain=cfg.gain,
+            min_log_std=(-1e9 if cfg.min_log_std is None
+                         else float(cfg.min_log_std)),
         )
 
     @property
@@ -243,7 +250,10 @@ def _actor_head(p: Params, spec: NetSpec, feat: jnp.ndarray
     if spec.act_hidden_sizes:
         feat = _mlp(p["act_mlp"], feat, spec.activation)
     mean = jnp.tanh(_dense(p["mu"], feat))  # MuNet tanh squash
-    return mean, p["log_std"]
+    # exploration floor (identity at the -1e9 default): the gradient
+    # through a clamped log_std is zero, so the entropy bonus stops
+    # fighting the floor instead of oscillating against it
+    return mean, jnp.maximum(p["log_std"], spec.min_log_std)
 
 
 def actor_step(p: Params, spec: NetSpec, obs: jnp.ndarray, h: jnp.ndarray,

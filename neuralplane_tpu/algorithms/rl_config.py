@@ -52,6 +52,11 @@ class RLConfig:
     entropy_coef: float = 0.01
     use_max_grad_norm: bool = True
     max_grad_norm: float = 2.0
+    # beyond reference: floor on the Gaussian head's learnable log_std
+    # (None = no floor = reference behavior). Long entropy-annealed selfplay
+    # runs collapse sigma to ~1e-6 (results/mappo_2v2: entropy -49 by 1.5e9
+    # steps), killing exploration; -2.3 keeps sigma >= ~0.1.
+    min_log_std: "float | None" = None
 
     # selfplay (config.py:217-224)
     use_selfplay: bool = False

@@ -40,8 +40,9 @@ def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
 
     # allocator stats when the runtime exposes them (the axon relay does
     # not: memory_stats() is None there); the analytic resident footprint
-    # (env state + step output + aero weights nbytes) is always reported so
-    # the memory column of the benchmark never goes missing
+    # (env state + obs + aero weights nbytes — a lower bound: the small
+    # non-obs StepOutput fields are excluded) is always reported so the
+    # memory column of the benchmark never goes missing
     mem_mb = float("nan")
     try:
         stats = jax.local_devices()[0].memory_stats()

@@ -67,9 +67,15 @@ class Runner:
         return {k: float(v) for k, v in metrics.items()}
 
     # ---- persistence ----
+    def _extra_state(self) -> Dict:
+        """Subclass hook: extra host-side state to ride along in the
+        checkpoint (e.g. the selfplay runner's pool ELO ratings)."""
+        return {}
+
     def save(self, tag: str = "latest") -> str:
         path = os.path.join(self.save_dir, f"state_{tag}.pkl")
-        save_pytree(path, {"train_state": self.train_state, "key": self.key})
+        save_pytree(path, {"train_state": self.train_state, "key": self.key,
+                           **self._extra_state()})
         return path
 
     def restore(self, path: str) -> None:
@@ -80,6 +86,11 @@ class Runner:
         self.train_state = TrainState(**{
             f: getattr(restored, f) for f in ("params", "opt_state", "step")})
         self.key = jnp.asarray(blob["key"])
+        # stash non-core keys for subclasses; restore() runs during
+        # Runner.__init__, before subclass attributes exist, so they pick
+        # these up after their own defaults are set
+        self._restored_extras = {k: v for k, v in blob.items()
+                                 if k not in ("train_state", "key")}
 
     # ---- logging ----
     def log_info(self, infos: Dict[str, float], total_num_steps: int) -> None:

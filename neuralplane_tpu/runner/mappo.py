@@ -77,12 +77,14 @@ class MAPPOSelfplayRunner(SelfplayRunner):
         ego_obs, opp_obs = self._split(out.obs)
         ego_rew, opp_rew = self._split(out.reward[:, None])
         # per-AGENT liveness at the NEXT obs (SharedReplayBuffer
-        # active_masks semantics): team envs expose out.active, so a
-        # shot-down agent is inactive mid-episode while its env group keeps
-        # running; an env-group reset revives everyone (the reference sets
-        # active_masks[dones_env] = 1). In these envs any per-agent done is
-        # env-level (group reset), so liveness is the only mid-episode
-        # inactivation source.
+        # active_masks semantics, `algorithms/utils/buffer.py:305` "whether
+        # agent[i] is alive in obs[t]" / `:343` "1 - agent_done_t" — intent
+        # the reference's runners never wire: no runner ever passes
+        # active_masks to insert(), so it stays all-ones there): team envs
+        # expose out.active, so a shot-down agent is inactive mid-episode
+        # while its env group keeps running; an env-group reset revives
+        # everyone. In these envs any per-agent done is env-level (group
+        # reset), so liveness is the only mid-episode inactivation source.
         if out.active is not None:
             base, _ = self._split(out.active[:, None])
         else:

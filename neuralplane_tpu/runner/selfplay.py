@@ -100,8 +100,14 @@ class SelfplayRunner(Runner):
         # Resuming (e.g. a supervisor leg restart): import the previous
         # run's opponent pool so FSP/PFSP keep their historical diversity -
         # without this a mid-run restart silently degrades self-play to
-        # playing only the resumed policy. Pool ELO ratings are not
-        # checkpointed; imported entries re-enter at the current rating.
+        # playing only the resumed policy. Pool ELO ratings + latest_elo
+        # ride in the full-state checkpoint (_extra_state), so PFSP's
+        # strength-weighted sampling and the ego rating survive restarts;
+        # entries without a saved rating re-enter at the current rating.
+        restored = getattr(self, "_restored_extras", {}).get("selfplay", {})
+        self.latest_elo = float(restored.get("latest_elo", self.latest_elo))
+        self._restored_ratings: Dict[str, float] = {
+            k: float(v) for k, v in restored.get("policy_pool", {}).items()}
         if model_dir is not None:
             self._import_pool(os.path.dirname(os.path.abspath(model_dir)))
         if not self.policy_pool:
@@ -111,6 +117,12 @@ class SelfplayRunner(Runner):
                      key=lambda n: int(n) if n.isdigit() else -1)
         self.opponent_params = self._stack_opponents(
             [newest] * self.num_opponents)
+
+    # ---- persistence (pool ratings + ego ELO ride in the checkpoint) ----
+    def _extra_state(self) -> Dict:
+        return {"selfplay": {"latest_elo": float(self.latest_elo),
+                             "policy_pool": {k: float(v) for k, v
+                                             in self.policy_pool.items()}}}
 
     # ---- pool management ----
     def _pool_path(self, name: str) -> str:
@@ -129,7 +141,10 @@ class SelfplayRunner(Runner):
             if os.path.abspath(os.path.join(src_dir, fname)) != \
                     os.path.abspath(dst):
                 shutil.copy(os.path.join(src_dir, fname), dst)
-            self.policy_pool[name] = self.latest_elo
+            # checkpointed rating when the resumed state has one; current
+            # rating only for entries the checkpoint never rated
+            self.policy_pool[name] = self._restored_ratings.get(
+                name, self.latest_elo)
         if self.policy_pool:
             logging.info("Imported %d pool entries from %s",
                          len(self.policy_pool), src_dir)

@@ -1,7 +1,9 @@
 """Training CLI: the `scripts/train/train_F16sim.py` equivalent.
 
-Argparse flags mirror the reference's `config.py:5-291` groups (same names,
-same defaults), so the reference launch scripts translate 1:1. Every
+Argparse flags mirror the reference's `config.py:5-291` groups (same names;
+same defaults except --n-eval-rollout-threads, which defaults to None =
+evaluate on the training env — see its help text), so the reference launch
+scripts translate 1:1. Every
 reference flag is implemented here or in scripts/render.py
 (--render-index/--render-opponent-index live there) except --cuda/--device/
 --n-training-threads, which have no TPU meaning (device selection is JAX
@@ -80,6 +82,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--entropy-coef", type=float, default=0.01)
     p.add_argument("--use-max-grad-norm", action="store_false", default=True)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
+    p.add_argument("--min-log-std", type=float, default=None,
+                   help="beyond reference: exploration floor on the "
+                   "Gaussian head's learnable log_std (e.g. -2.3 keeps "
+                   "sigma >= ~0.1); default None = no floor, exact "
+                   "reference behavior (long entropy-annealed runs can "
+                   "collapse sigma, see results/mappo_2v2)")
     # selfplay
     p.add_argument("--use-selfplay", action="store_true")
     p.add_argument("--selfplay-algorithm", default="sp",
@@ -137,6 +145,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         entropy_coef=args.entropy_coef,
         use_max_grad_norm=args.use_max_grad_norm,
         max_grad_norm=args.max_grad_norm,
+        min_log_std=args.min_log_std,
         use_selfplay=args.use_selfplay,
         selfplay_algorithm=args.selfplay_algorithm,
         n_choose_opponents=args.n_choose_opponents,

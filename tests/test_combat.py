@@ -173,12 +173,21 @@ def test_selfplay_pool_survives_resume(tmp_path):
     r1 = SelfplayRunner(env, cfg, run_dir=str(tmp_path / "leg0"))
     r1._save_pool_entry("1")
     r1._save_pool_entry("2")
+    # ELO state accrued during leg 0: the ego rating and per-entry pool
+    # ratings must survive the restart (they drive PFSP's strength-weighted
+    # sampling), not re-enter flattened at init_elo
+    r1.latest_elo = 1234.5
+    r1.policy_pool["1"] = 987.0
+    r1.policy_pool["2"] = 1111.0
     ckpt = r1.save("latest")
 
     r2 = SelfplayRunner(env, cfg, run_dir=str(tmp_path / "leg1"),
                         model_dir=ckpt)
     assert set(r2.policy_pool) >= {"0", "1", "2"}
     assert r2._next_pool_name() == "3"
+    assert r2.latest_elo == 1234.5
+    assert r2.policy_pool["1"] == 987.0
+    assert r2.policy_pool["2"] == 1111.0
     # imported entries are loadable for opponent stacking
     r2.opponent_params = r2._stack_opponents(["1"])
     out = r2.eval_elo(num_steps=4)

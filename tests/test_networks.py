@@ -72,6 +72,30 @@ def test_mask_reset_forgets_history(params):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_min_log_std_floor(params):
+    """min_log_std clamps the Gaussian head's learnable log_std (the
+    beyond-reference exploration floor); the default config is an exact
+    identity (reference behavior)."""
+    import dataclasses
+    n = 5
+    obs = jax.random.normal(jax.random.PRNGKey(3), (n, 10))
+    h = nets.init_rnn_state(n, SPEC)
+    mask = jnp.ones((n, 1))
+    collapsed = dict(params["actor"], log_std=jnp.full((4,), -12.0))
+
+    # default: no floor -> collapsed log_std passes through untouched
+    _, log_std, _ = nets.actor_step(collapsed, SPEC, obs, h, mask)
+    assert np.allclose(np.asarray(log_std), -12.0)
+
+    spec_floor = nets.NetSpec.from_config(
+        dataclasses.replace(CFG, min_log_std=-2.3), obs_dim=10, act_dim=4)
+    _, log_std, _ = nets.actor_step(collapsed, spec_floor, obs, h, mask)
+    assert np.allclose(np.asarray(log_std), -2.3)
+    # values above the floor are untouched
+    _, log_std, _ = nets.actor_step(params["actor"], spec_floor, obs, h, mask)
+    assert np.allclose(np.asarray(log_std), 0.0)
+
+
 def test_critic_value_shape(params):
     n = 5
     obs = jax.random.normal(jax.random.PRNGKey(7), (n, 10))

@@ -44,6 +44,13 @@ def load_actor(ckpt_dir: str, name: str) -> dict:
     return jax.tree_util.tree_map(jnp.asarray, blob)
 
 
+#: one compiled match program per (env, policy, steps, protocol): every
+#: opponent rung reuses it (both param trees are traced arguments), so the
+#: ladder compiles the 2000-step scan ONCE instead of once per rung
+#: (minutes each through the relay)
+_RUN_CACHE: dict = {}
+
+
 def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
                  steps: int, key: jax.Array, stochastic: str = "none"):
     """Head-to-head match; returns (ego per-episode avg, opp per-episode
@@ -69,6 +76,9 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
     ones = jnp.ones((n_ego, 1), jnp.float32)
 
     sample = stochastic == "both"
+
+    cache_key = (id(env), id(policy), steps, sample)
+    cached = _RUN_CACHE.get(cache_key)
 
     @jax.jit
     def run(pe, po, env_state, ego_obs, opp_obs, key):
@@ -112,8 +122,10 @@ def head_to_head(env, policy, ego_actor: dict, opp_actor: dict,
         return (ee.sum() / denom, eo.sum() / denom, ends,
                 ew.sum(), ow.sum())
 
-    e, o, ends, ew, ow = run(ego_actor, opp_actor, env_state, ego_obs,
-                             opp_obs, key)
+    if cached is None:
+        _RUN_CACHE[cache_key] = cached = run
+    e, o, ends, ew, ow = cached(ego_actor, opp_actor, env_state, ego_obs,
+                                opp_obs, key)
     return float(e), float(o), float(ends), float(ew), float(ow)
 
 

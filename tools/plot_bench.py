@@ -12,8 +12,8 @@ Panel 1: per-step FDM latency vs agent count (log-log).
 Panel 2: device memory vs agent count. The reference reports
 torch.cuda.memory_allocated; the axon TPU relay exposes no allocator stats
 (device.memory_stats() is None), so our column is the ANALYTIC resident
-footprint: sum of nbytes over the persistent env-state pytree + step output
-+ aero weights, i.e. a lower bound on allocated HBM (labelled as such).
+footprint: sum of nbytes over the persistent env-state pytree + obs + aero
+weights, i.e. a lower bound on allocated HBM (labelled as such).
 
 Run:  python tools/plot_bench.py   (writes results/bench/measure_env.{pdf,png})
 """
@@ -57,7 +57,8 @@ def load_sweep():
 
 
 def state_footprint_mb(ns) -> np.ndarray:
-    """Analytic resident bytes of env state + step output + weights per n."""
+    """Analytic resident bytes of env state + obs + weights per n (a lower
+    bound; the small non-obs StepOutput fields are excluded)."""
     sys.path.insert(0, REPO)
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -133,7 +134,7 @@ def main() -> None:
     ax2.loglog(NS, REF_MEM_MB, "-o", color=C_REF, linewidth=2, markersize=5,
                label="reference GPU (torch.cuda.memory_allocated)", zorder=3)
     ax2.loglog(ns_tpu, mem_tpu, "-o", color=C_TPU, linewidth=2, markersize=5,
-               label="ours (resident state+weights, analytic)", zorder=4)
+               label="ours (resident state+obs+weights, analytic)", zorder=4)
     ax2.set_xlabel("aircraft stepped in parallel", color=INK, fontsize=10)
     ax2.set_ylabel("device memory (MB)", color=INK, fontsize=10)
     ax2.set_title("Device memory vs agent count", color=INK, fontsize=11,
