@@ -78,6 +78,11 @@ class RLConfig:
     n_eval_rollout_threads: int = 1
     eval_interval: int = 25
     eval_episodes: int = 32
+    # beyond reference: SAMPLE actions in ELO eval matches instead of the
+    # reference's deterministic modes (selfplay_F16sim_runner.py:168-178).
+    # On team combat the deterministic protocol yields ~no kill events
+    # (results/mappo_2v2), leaving the in-training ELO ladder frozen.
+    eval_stochastic: bool = False
     render_opponent_index: str = "latest"
     render_index: str = "latest"
 

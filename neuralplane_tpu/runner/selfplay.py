@@ -313,7 +313,7 @@ class SelfplayRunner(Runner):
                  for _ in range(K)]
         opp_params = self._stack_opponents(names)
 
-        k_reset, _ = jax.random.split(self.next_key())
+        k_reset, k_roll = jax.random.split(self.next_key())
         env_state, obs = env.reset(k_reset)
         ego_obs, opp_obs = split(obs)
         h_a, h_c = self.policy.init_rnn_states(n_ego)
@@ -321,7 +321,16 @@ class SelfplayRunner(Runner):
         carry = SelfplayCarry(env_state=env_state, ego_obs=ego_obs,
                               opp_obs=opp_obs, h_actor=h_a, h_critic=h_c,
                               h_opp=jnp.zeros_like(h_a), ego_masks=ones,
-                              opp_masks=ones, bad_masks=ones, key=k_reset)
+                              opp_masks=ones, bad_masks=ones, key=k_roll)
+
+        # Default: deterministic play for both sides, matching the
+        # reference's eval (:168-178 act(..., deterministic=True)).
+        # Beyond reference (--eval-stochastic): SAMPLE both sides - the
+        # behavioral matchup self-play actually trains on. On team combat
+        # the deterministic protocol is near-silent (modes are straight-
+        # line flyers producing ~no kill events, results/mappo_2v2), so
+        # the in-training ELO ladder only moves under sampled play.
+        det = not self.cfg.eval_stochastic
 
         @jax.jit
         def _run(params, opp_params, carry):
@@ -329,16 +338,17 @@ class SelfplayRunner(Runner):
 
             def body(state, _):
                 c, cum_ego, cum_opp = state
-                # deterministic play for both sides, matching the
-                # reference's eval (:168-178 act(..., deterministic=True))
+                k_next, k_ego, k_opp = jax.random.split(c.key, 3)
                 a_ego, h_a = self.policy.act(params, c.ego_obs, c.h_actor,
-                                             c.ego_masks, deterministic=True)
+                                             c.ego_masks, key=k_ego,
+                                             deterministic=det)
                 a_opp, h_opp = jax.vmap(
-                    lambda p, o, h, m: self.policy.act(
-                        {"actor": p}, o, h, m, deterministic=True))(
+                    lambda p, o, h, m, kk: self.policy.act(
+                        {"actor": p}, o, h, m, key=kk, deterministic=det))(
                     opp_params, slices(c.opp_obs),
                     slices(c.h_opp),
-                    slices(c.opp_masks))
+                    slices(c.opp_masks),
+                    jax.random.split(k_opp, K))
                 a_opp = a_opp.reshape(n_ego, -1)
                 env_state, out = env.step(c.env_state,
                                           merge(a_ego, a_opp))
@@ -369,7 +379,7 @@ class SelfplayRunner(Runner):
                               opp_obs=opp_obs, h_actor=h_a * keep,
                               h_opp=h_opp.reshape(c.h_opp.shape) * keep,
                               ego_masks=masks, opp_masks=masks,
-                              bad_masks=bad_masks)
+                              bad_masks=bad_masks, key=k_next)
                 return (c, cum_ego, cum_opp), emit
             (c, _, _), (e_ego, e_opp, resets) = jax.lax.scan(
                 body, (carry, zero, zero), None, length=steps)

@@ -108,6 +108,11 @@ def get_parser() -> argparse.ArgumentParser:
                    "the training env (full episode statistics)")
     p.add_argument("--eval-interval", type=int, default=25)
     p.add_argument("--eval-episodes", type=int, default=32)
+    p.add_argument("--eval-stochastic", action="store_true",
+                   help="beyond reference: SAMPLE actions in ELO eval "
+                   "matches (behavioral protocol) instead of deterministic "
+                   "modes; on team combat the deterministic protocol "
+                   "produces ~no kills and the ELO ladder never moves")
     p.add_argument("--use-tensorboard", action="store_true")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--low-level-ckpt", default=None,
@@ -152,7 +157,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         init_elo=args.init_elo,
         elo_tie_band=args.elo_tie_band,
         save_interval=args.save_interval, log_interval=args.log_interval,
-        use_eval=args.use_eval,
+        use_eval=args.use_eval, eval_stochastic=args.eval_stochastic,
         n_eval_rollout_threads=args.n_eval_rollout_threads or 1,
         eval_interval=args.eval_interval, eval_episodes=args.eval_episodes,
     )

@@ -160,6 +160,27 @@ def test_eval_elo_honors_eval_env(tmp_path):
     assert batch.obs.shape[1] == env.num_envs * env.num_agents // 2
 
 
+def test_eval_elo_stochastic_protocol(tmp_path):
+    """--eval-stochastic (beyond reference) samples BOTH sides in ELO eval
+    matches; the deterministic default is the reference protocol. Both
+    protocols must run end-to-end on the same config shape."""
+    cfg = RLConfig(buffer_size=8, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1, num_env_steps=8,
+                   save_interval=100, log_interval=1, elo_tie_band=1.0,
+                   eval_stochastic=True)
+    env = SingleCombatEnv(num_envs=4)
+    runner = SelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    out = runner.eval_elo(num_steps=8)
+    assert np.isfinite(out["latest_elo"])
+
+    det = SelfplayRunner(env, cfg.replace(eval_stochastic=False),
+                         run_dir=str(tmp_path / "det"))
+    out_det = det.eval_elo(num_steps=8)
+    assert np.isfinite(out_det["latest_elo"])
+
+
 def test_selfplay_pool_survives_resume(tmp_path):
     """Supervisor leg restarts must not lose the opponent pool: a runner
     resumed with --model-dir imports the previous run's actor_*.pkl entries
