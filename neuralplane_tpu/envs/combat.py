@@ -137,12 +137,20 @@ class SingleCombatEnv:
             recent_s=jnp.where(m, s, state.model.recent_s),
             recent_u=jnp.where(m, u, state.model.recent_u))
         zeros = jnp.zeros_like(state.is_done)
-        return CombatState(
+        # replace() (not a CombatState ctor) so subclass state fields
+        # survive; _reset_extras is the subclass hook for them
+        new = state.replace(
             model=mstate,
             controller=self.controller.reset(state.controller, mask),
             blood=jnp.where(mask, cfg.max_blood, state.blood),
             step_count=jnp.where(mask, 0, state.step_count),
             is_done=zeros, bad_done=zeros, exceed_time_limit=zeros, key=key)
+        return self._reset_extras(new, mask)
+
+    def _reset_extras(self, state: CombatState,
+                      mask: jnp.ndarray) -> CombatState:
+        """Subclass hook: reset extra per-agent state for masked rows."""
+        return state
 
     @functools.partial(jax.jit, static_argnums=0)
     def reset(self, key: jax.Array) -> Tuple[CombatState, jnp.ndarray]:

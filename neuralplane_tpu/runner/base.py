@@ -53,7 +53,10 @@ class Runner:
 
     def _build_policy(self, env, cfg: RLConfig):
         """Policy/trainer factory; MAPPO runner overrides this."""
-        policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+        # envs with a non-Box action space (e.g. the shoot-combat env's
+        # ShootTuple) expose `action_space`; Box envs just expose num_actions
+        policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
+                           act_space=getattr(env, "action_space", None))
         return policy, PPOTrainer(cfg, policy)
 
     # ---- training hooks (subclasses implement collect/run) ----

@@ -46,7 +46,7 @@ def get_parser() -> argparse.ArgumentParser:
     # env
     p.add_argument("--env-name", default="Control",
                    choices=["Control", "Planning", "SingleCombat",
-                            "MultipleCombat"])
+                            "SingleCombatShoot", "MultipleCombat"])
     p.add_argument("--scenario-name", default="heading")
     p.add_argument("--model-name", default="F16", choices=["F16", "UAV", "C172P"])
     # buffer
@@ -183,6 +183,9 @@ def make_env(args: argparse.Namespace, num_envs: int = None):
                            model=args.model_name, low_level_params=low)
     if args.env_name == "SingleCombat":
         return SingleCombatEnv(num_envs=n, config=args.scenario_name)
+    if args.env_name == "SingleCombatShoot":
+        from ..envs import SingleCombatShootEnv
+        return SingleCombatShootEnv(num_envs=n, config=args.scenario_name)
     if args.env_name == "MultipleCombat":
         return MultipleCombatEnv(num_envs=n, config=args.scenario_name)
     raise NotImplementedError(args.env_name)

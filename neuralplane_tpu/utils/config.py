@@ -90,6 +90,20 @@ class EnvConfig:
     max_epos: float = 5000.0
     min_epos: float = -5000.0
 
+    # shoot-combat (missile) scenarios — envs/combat_shoot.py supplies the
+    # environment side of the reference's ShootTuple action head
+    max_missiles: int = 4
+    missile_speed: float = 2600.0      # ft/s cruise (constant-speed PN)
+    missile_g_max: float = 30.0        # g lateral-accel clamp
+    missile_duration: float = 30.0     # s flight time before expiry
+    missile_hit_radius: float = 300.0  # ft kill radius (segment hit test)
+    missile_damage: float = 100.0      # blood per hit
+    missile_cooldown: float = 4.0      # s between launches
+    missile_nav_gain: float = 3.0      # PN navigation constant N'
+    missile_shoot_cost: float = 5.0    # reward penalty per launch
+    attitude_bins: int = 41            # discrete roll/pitch/yaw demand bins
+    throttle_bins: int = 30            # discrete throttle bins
+
     # hierarchical control (planning env)
     low_level_steps: int = 50
     low_level_ckpt: Optional[str] = None

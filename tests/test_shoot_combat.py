@@ -1,0 +1,188 @@
+"""Missile kinematics + shoot-combat env (envs/combat_shoot.py).
+
+The reference has the ShootTuple policy head (`algorithms/utils/act.py:39-53`)
+but no env that exposes it; these tests cover the environment side we add:
+PN guidance, segment hit test, launch gating, obs extension, and the full
+selfplay-PPO integration with the Beta-prior (`ppo_actor.py:41-49`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralplane_tpu.envs import SingleCombatShootEnv
+from neuralplane_tpu.ops.missile import (clear_missiles, init_missiles,
+                                         launch_missiles, segment_min_dist,
+                                         step_missiles)
+
+MISSILE_KW = dict(dt=0.1, speed=2600.0, nav_gain=3.0, g_max=30.0,
+                  duration=30.0, hit_radius=300.0)
+
+
+# ---------- ops/missile.py ----------
+
+def test_segment_min_dist_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    rel_pos = jnp.asarray(rng.normal(size=(32, 3)) * 1000.0, jnp.float32)
+    rel_vel = jnp.asarray(rng.normal(size=(32, 3)) * 500.0, jnp.float32)
+    dt = 0.1
+    got = segment_min_dist(rel_pos, rel_vel, dt)
+    ts = np.linspace(0.0, dt, 2001)
+    pts = (np.asarray(rel_pos)[:, None, :]
+           + ts[None, :, None] * np.asarray(rel_vel)[:, None, :])
+    want = np.linalg.norm(pts, axis=-1).min(axis=1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=0.5)
+
+
+def test_pn_missile_hits_crossing_target():
+    """A PN missile launched 90 degrees off a crossing target converges."""
+    m = init_missiles(1, 1)
+    # shooter at origin flying north; target 8000 ft north, crossing east
+    m = launch_missiles(m, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+                        jnp.zeros((1, 3)),
+                        jnp.asarray([[1000.0, 0.0, 0.0]]), speed=2600.0)
+    t_pos = jnp.asarray([[8000.0, 0.0, 0.0]])
+    t_vel = jnp.asarray([[0.0, 900.0, 0.0]])
+    hit_step = None
+    ranges = []
+    for i in range(120):
+        t_pos = t_pos + t_vel * MISSILE_KW["dt"]
+        m, hits = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
+        ranges.append(float(jnp.linalg.norm(t_pos[0] - m.pos[0, 0])))
+        if bool(hits[0, 0]):
+            hit_step = i
+            break
+    assert hit_step is not None, f"never hit; closest {min(ranges):.0f} ft"
+    assert not bool(m.active[0, 0])  # hit missiles deactivate
+
+
+def test_missile_expires_and_g_limit_defeats_impossible_turn():
+    """A target directly BEHIND the launch direction at close range forces a
+    reversal the g-clamp cannot complete instantly; the missile must not
+    teleport (finite turn rate) and must die at `duration`."""
+    m = init_missiles(1, 1)
+    m = launch_missiles(m, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+                        jnp.zeros((1, 3)),
+                        jnp.asarray([[2600.0, 0.0, 0.0]]), speed=2600.0)
+    t_pos = jnp.asarray([[-500.0, 0.0, 0.0]])   # 500 ft behind, outside kill radius
+    t_vel = jnp.zeros((1, 3))
+    m2, hits = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
+    assert not bool(hits[0, 0])
+    # velocity rotation in one step is bounded by a_max*dt / v
+    dv = jnp.linalg.norm(m2.vel[0, 0] - m.vel[0, 0])
+    assert float(dv) <= 30.0 * 32.175 * 0.1 + 1e-3
+    # expiry
+    for _ in range(301):
+        m, _ = step_missiles(m, jnp.asarray([[1e7, 1e7, 0.0]]),
+                             jnp.zeros((1, 3)), **MISSILE_KW)
+    assert not bool(m.active[0, 0])
+
+
+def test_launch_slots_and_clear():
+    m = init_missiles(2, 3)
+    for slot in range(3):
+        m = launch_missiles(m, jnp.full(2, slot, jnp.int32),
+                            jnp.asarray([True, False]),
+                            jnp.zeros((2, 3)), jnp.ones((2, 3)), speed=100.0)
+    assert m.active.tolist() == [[True, True, True], [False, False, False]]
+    m = clear_missiles(m, jnp.asarray([True, False]))
+    assert not bool(m.active.any())
+
+
+# ---------- env ----------
+
+@pytest.fixture(scope="module")
+def env():
+    return SingleCombatShootEnv(num_envs=4)
+
+
+def test_shoot_env_contract(env):
+    assert env.num_observation == 18
+    assert env.num_actions == 5
+    assert env.action_space.nvec == (30, 41, 41, 41)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (env.n, 18)
+    # fresh episode: full ammo, no alert
+    np.testing.assert_allclose(np.asarray(obs[:, 15]), 1.0)
+    np.testing.assert_allclose(np.asarray(obs[:, 16]), 0.0)
+    assert int(state.ammo.sum()) == env.n * env.config.max_missiles
+
+
+def test_decode_bins(env):
+    a = jnp.asarray([[0.0, 0.0, 40.0, 20.0, 0.0]])
+    demands, fire = env._decode(a)
+    np.testing.assert_allclose(
+        np.asarray(demands[0]), [-1.0, -1.0, 1.0, 0.0], atol=1e-6)
+    assert not bool(fire[0])
+    assert bool(env._decode(jnp.asarray([[0, 0, 0, 0, 1.0]]))[1][0])
+
+
+def test_launch_gating_and_obs_alert(env):
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    fire_all = jnp.concatenate(
+        [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
+    state, out = env.step(state, fire_all)
+    assert int(out.info["shoot/launches"]) == env.n       # everyone fires
+    state, out = env.step(state, fire_all)
+    assert int(out.info["shoot/launches"]) == 0           # cooldown blocks
+    assert int(state.ammo[0]) == env.config.max_missiles - 1
+    # incoming alert is up for everyone (opponent's missile inbound)
+    np.testing.assert_allclose(np.asarray(out.obs[:, 16]), 1.0)
+    assert (np.asarray(out.obs[:, 17]) > 0).all()
+    # ammo fraction reflects the launch
+    np.testing.assert_allclose(np.asarray(out.obs[:, 15]), 0.75)
+
+
+def test_missile_hit_drains_blood_and_reward_cost(env):
+    """Drive until a hit lands; blood must drop by missile_damage and the
+    shutdown termination must fire for the victim's episode."""
+    state, _ = env.reset(jax.random.PRNGKey(2))
+    fire_all = jnp.concatenate(
+        [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
+    no_fire = fire_all.at[:, 4].set(0.0)
+
+    state, out = env.step(state, fire_all)
+    # launch cost shows up in the reward
+    r_fire = np.asarray(out.reward)
+    state2, out2 = env.step(state, no_fire)
+    assert (r_fire <= np.asarray(out2.reward) + 1e-5).all()
+
+    hits_total = 0
+    for _ in range(200):
+        state, out = env.step(state, fire_all)
+        hits_total += int(out.info["shoot/hits"])
+        if hits_total and int(out.info["termination/shutdown"]) > 0:
+            break
+    assert hits_total > 0, "no missile ever connected"
+    assert int(out.info["termination/shutdown"]) > 0
+
+
+def test_masked_reset_restores_missile_state(env):
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    fire_all = jnp.concatenate(
+        [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
+    state, _ = env.step(state, fire_all)
+    assert int(state.missiles.active.sum()) == env.n
+    # force done on every group -> next step's masked reset rearms everyone
+    state = state.replace(is_done=jnp.ones(env.n, bool))
+    state, out = env.step(state, fire_all)
+    # reset happened BEFORE the step, which then fired fresh missiles
+    assert int(state.ammo.min()) == env.config.max_missiles - 1
+    np.testing.assert_allclose(np.asarray(out.obs[:, 15]), 0.75)
+
+
+def test_selfplay_ppo_trains_on_shoot_env(tmp_path):
+    """Full integration: ShootTuple head + Beta prior + selfplay runner."""
+    from neuralplane_tpu.scripts.train import main
+    main(["--env-name", "SingleCombatShoot",
+          "--scenario-name", "selfplay_shoot",
+          "--use-selfplay", "--use-prior", "--selfplay-algorithm", "fsp",
+          "--n-choose-opponents", "1", "--n-rollout-threads", "4",
+          "--num-env-steps", "60", "--buffer-size", "10",
+          "--num-mini-batch", "1", "--ppo-epoch", "1",
+          "--data-chunk-length", "5", "--log-interval", "1",
+          "--save-interval", "1", "--hidden-size", "32",
+          "--recurrent-hidden-size", "32",
+          "--run-dir", str(tmp_path / "run")])
+    lines = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+    assert lines, "no metrics logged"
