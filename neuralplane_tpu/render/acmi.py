@@ -52,3 +52,23 @@ class ACMIWriter:
                 f.write(f"{base_id + i},T={float(lon)}|{float(lat)}|"
                         f"{float(alt_m)}|{float(roll)}|{float(pitch)}|"
                         f"{float(yaw)},Name={names[i]},Color={colors[i]}\n")
+
+    def write_object(self, obj_id: int, state: np.ndarray, name: str,
+                     color: str, obj_type: str = "Missile") -> None:
+        """Append one extra object line to the CURRENT frame (call after
+        write_frame; ACMI lines following a `#t` timestamp belong to it).
+        state: (npos_ft, epos_ft, alt_ft, roll, pitch, yaw)."""
+        npos, epos, alt = (float(state[0]) * FT, float(state[1]) * FT,
+                           float(state[2]) * FT)
+        lat, lon, alt_m = enu_to_geodetic(epos, npos, alt, 0.0, 0.0, 0.0)
+        roll, pitch, yaw = (float(state[3]) * R2D, float(state[4]) * R2D,
+                            float(state[5]) * R2D)
+        with open(self.filepath, "a", encoding="utf-8") as f:
+            f.write(f"{obj_id},T={float(lon)}|{float(lat)}|{float(alt_m)}|"
+                    f"{roll}|{pitch}|{yaw},Name={name},Color={color},"
+                    f"Type={obj_type}\n")
+
+    def remove_object(self, obj_id: int) -> None:
+        """TacView object-destruction event (`-id` line)."""
+        with open(self.filepath, "a", encoding="utf-8") as f:
+            f.write(f"-{obj_id}\n")

@@ -165,15 +165,21 @@ def _resolve_pool_ckpt(model_dir: str, index: str) -> str:
 
 
 def render_combat(args) -> None:
-    # team scenarios (e.g. multiple_selfplay 2v2) use the nvn env; the
-    # reference's render_singlecombat is 1v1-only - team render is a
-    # framework addition on top of it
-    env_cls = (MultipleCombatEnv if "multiple" in args.scenario
-               else SingleCombatEnv)
+    # team scenarios (e.g. multiple_selfplay 2v2) use the nvn env; "shoot"
+    # scenarios the missile env; the reference's render_singlecombat is
+    # 1v1-gun-only - both renders are framework additions on top of it
+    if "multiple" in args.scenario:
+        env_cls = MultipleCombatEnv
+    elif "shoot" in args.scenario:
+        from ..envs import SingleCombatShootEnv
+        env_cls = SingleCombatShootEnv
+    else:
+        env_cls = SingleCombatEnv
     env = env_cls(num_envs=1, config=args.scenario)
     half = env.num_agents // 2
     cfg = RLConfig()
-    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
+                       act_space=getattr(env, "action_space", None))
     ego = (_load_actor_params(policy, args.checkpoint) if args.checkpoint
            else policy.init_params(jax.random.PRNGKey(0)))
     enm = (_load_actor_params(policy, args.opponent) if args.opponent else ego)
@@ -184,6 +190,8 @@ def render_combat(args) -> None:
     ones = jnp.ones((half, 1), jnp.float32)
     acmi = ACMIWriter(os.path.join(args.out, "recording.txt.acmi"))
     colors = ["Red"] * half + ["Blue"] * half
+    prev_active = None
+    launches = hits = 0
 
     for count in range(args.steps):
         a_e, h_e = policy.act(ego, obs[:half], h_e, ones, deterministic=True)
@@ -191,12 +199,35 @@ def render_combat(args) -> None:
         state, out = env.step(state, jnp.concatenate([a_e, a_o], axis=0))
         obs = out.obs
         s = np.asarray(state.model.s)
-        acmi.write_frame(count * env.config.dt * env.inner_steps, s[:, :6],
-                         colors=colors)
+        t = count * env.config.dt * env.inner_steps
+        acmi.write_frame(t, s[:, :6], colors=colors)
+        mis = getattr(state, "missiles", None)
+        if mis is not None:
+            launches += int(out.info["shoot/launches"])
+            hits += int(out.info["shoot/hits"])
+            active = np.asarray(mis.active)            # [n, K]
+            pos = np.asarray(mis.pos)
+            vel = np.asarray(mis.vel)
+            k = active.shape[1]
+            for i, j in zip(*np.nonzero(active)):
+                yaw = np.arctan2(vel[i, j, 1], vel[i, j, 0])
+                pitch = np.arctan2(vel[i, j, 2],
+                                   np.hypot(vel[i, j, 0], vel[i, j, 1]))
+                acmi.write_object(
+                    1000 + i * k + int(j),
+                    np.concatenate([pos[i, j], [0.0, pitch, yaw]]),
+                    name="AAM", color=colors[i])
+            if prev_active is not None:
+                for i, j in zip(*np.nonzero(prev_active & ~active)):
+                    acmi.remove_object(1000 + i * k + int(j))
+            prev_active = active
         if bool((out.done | out.bad_done).any()):
             break
-    print(json.dumps({"steps": count + 1,
-                      "blood": np.asarray(state.blood).tolist()}))
+    rec = {"steps": count + 1, "blood": np.asarray(state.blood).tolist()}
+    if prev_active is not None:
+        rec.update(launches=launches, hits=hits,
+                   ammo=np.asarray(state.ammo).tolist())
+    print(json.dumps(rec))
 
 
 def main(argv=None) -> None:

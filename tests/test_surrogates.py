@@ -123,3 +123,23 @@ def test_acmi_and_metrics(tmp_path):
     m = evaluate_metrics(rec.arrays())
     assert 0 < m["SSM"] <= 1 and 0 < m["OSM"] <= 1
     assert np.isfinite(m["mean_TAS"])
+
+
+def test_acmi_extra_objects(tmp_path):
+    """Missile objects ride the current frame; `-id` destroys them
+    (TacView object lines after a `#t` stamp belong to that frame)."""
+    from neuralplane_tpu.render import ACMIWriter
+    path = str(tmp_path / "rec.txt.acmi")
+    w = ACMIWriter(path)
+    states = np.array([[1000.0, 2000.0, 20000.0, 0.1, 0.05, 1.0]])
+    w.write_frame(0.0, states)
+    w.write_object(1000, np.array([500.0, 600.0, 19000.0, 0.0, 0.2, 0.9]),
+                   name="AAM", color="Red")
+    w.write_frame(0.1, states)
+    w.remove_object(1000)
+    lines = open(path).read().splitlines()
+    mis = [l for l in lines if l.startswith("1000,T=")]
+    assert len(mis) == 1 and "Type=Missile" in mis[0] and "Name=AAM" in mis[0]
+    # the missile line belongs to frame 0.00 (after #0.00, before #0.10)
+    assert lines.index(mis[0]) < lines.index("#0.10")
+    assert lines.index("-1000") > lines.index("#0.10")
