@@ -5,6 +5,14 @@ the PPO policy except the critic consumes the centralized observation
 (`cent_obs` / share_obs) - the concatenation of the whole ego team's
 observations. The reference ships this but never wires it to a runner
 (SURVEY.md S2 A4m); here `runner/mappo.py` actually trains with it.
+
+The actor side is literally the PPO actor (composed, not duplicated), so
+every action space the PPO policy supports - Box/DiagGaussian plus the
+Discrete / MultiDiscrete / ShootTuple heads in `algorithms/heads.py` -
+works under the centralized critic too. One deliberate beyond-reference
+extension: the reference's MAPPO actor drops `use_prior`
+(`mappo/ppo_actor.py` has no shoot-prior branch), which would make its own
+shoot head untrainable under MAPPO; we keep the prior available.
 """
 from __future__ import annotations
 
@@ -13,20 +21,25 @@ from typing import Optional
 import jax
 
 from .. import networks as nets
+from ..ppo.policy import PPOPolicy
 from ..rl_config import RLConfig
-from ..utils.distributions import DiagGaussian
 
 
 class MAPPOPolicy:
     def __init__(self, cfg: RLConfig, obs_dim: int, share_obs_dim: int,
-                 act_dim: int):
+                 act_dim: int = None, act_space=None):
         self.cfg = cfg
-        self.spec = nets.NetSpec.from_config(cfg, obs_dim, act_dim)
-        self.cent_spec = nets.NetSpec.from_config(cfg, share_obs_dim, act_dim)
+        # actor (and its action-space dispatch) is the PPO policy's; only
+        # its critic spec is replaced by the centralized one below
+        self._pp = PPOPolicy(cfg, obs_dim, act_dim, act_space)
+        self.spec = self._pp.spec
+        self.act_space = self._pp.act_space
+        self.cent_spec = nets.NetSpec.from_config(cfg, share_obs_dim,
+                                                  self.act_space.dim)
 
     def init_params(self, key: jax.Array) -> dict:
         k_a, k_c = jax.random.split(key)
-        return {"actor": nets.init_actor(k_a, self.spec),
+        return {"actor": self._pp.init_actor_params(k_a),
                 "critic": nets.init_critic(k_c, self.cent_spec)}
 
     def init_rnn_states(self, n: int):
@@ -35,9 +48,7 @@ class MAPPOPolicy:
 
     def get_actions(self, params, cent_obs, obs, h_actor, h_critic, masks,
                     key: jax.Array):
-        mean, log_std, h_actor = nets.actor_step(params["actor"], self.spec,
-                                                 obs, h_actor, masks)
-        dist = DiagGaussian(mean, log_std)
+        dist, h_actor = self._pp._dist_step(params, obs, h_actor, masks)
         actions = dist.sample(key)
         logp = dist.log_prob(actions)
         values, h_critic = nets.critic_step(params["critic"], self.cent_spec,
@@ -51,17 +62,14 @@ class MAPPOPolicy:
 
     def act(self, params, obs, h_actor, masks, key: Optional[jax.Array] = None,
             deterministic: bool = True):
-        mean, log_std, h_actor = nets.actor_step(params["actor"], self.spec,
-                                                 obs, h_actor, masks)
+        dist, h_actor = self._pp._dist_step(params, obs, h_actor, masks)
         if deterministic:
-            return mean, h_actor
-        return DiagGaussian(mean, log_std).sample(key), h_actor
+            return dist.mode(), h_actor
+        return dist.sample(key), h_actor
 
     def evaluate_actions(self, params, cent_obs, obs, h0_actor, h0_critic,
                          actions, masks):
-        mean, log_std, _ = nets.actor_seq(params["actor"], self.spec, obs,
-                                          h0_actor, masks)
-        dist = DiagGaussian(mean, log_std)
+        dist = self._pp._dist_seq(params, obs, h0_actor, masks)
         values, _ = nets.critic_seq(params["critic"], self.cent_spec,
                                     cent_obs, h0_critic, masks)
         return values, dist.log_prob(actions), dist.entropy()

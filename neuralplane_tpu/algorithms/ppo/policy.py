@@ -45,13 +45,12 @@ class PPOPolicy:
                                                       ShootTuple)
 
     # ---- lifecycle ----
-    def init_params(self, key: jax.Array) -> dict:
-        k_a, k_c = jax.random.split(key)
-        critic = nets.init_critic(k_c, self.spec)
+    def init_actor_params(self, key: jax.Array) -> dict:
+        """Actor-side params alone (MAPPOPolicy composes this actor with
+        its own centralized critic)."""
         if self.is_box:
-            return {"actor": nets.init_actor(k_a, self.spec),
-                    "critic": critic}
-        k_trunk, k_mlp, k_head = jax.random.split(k_a, 3)
+            return nets.init_actor(key, self.spec)
+        k_trunk, k_mlp, k_head = jax.random.split(key, 3)
         actor = {"trunk": nets._trunk_init(k_trunk, self.spec)}
         d_in = self.spec.trunk_out
         if self.spec.act_hidden_sizes:
@@ -60,7 +59,12 @@ class PPOPolicy:
                                               self.spec.activation)
             d_in = self.spec.act_hidden_sizes[-1]
         actor["head"] = self.head.init(k_head, d_in)
-        return {"actor": actor, "critic": critic}
+        return actor
+
+    def init_params(self, key: jax.Array) -> dict:
+        k_a, k_c = jax.random.split(key)
+        return {"actor": self.init_actor_params(k_a),
+                "critic": nets.init_critic(k_c, self.spec)}
 
     def init_rnn_states(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h = nets.init_rnn_state(n, self.spec)

@@ -386,12 +386,30 @@ class MultipleCombatEnv(SingleCombatEnv):
             jnp.broadcast_to(eidx[None], key.shape), order, axis=-1)
         return perm, jnp.take_along_axis(key, order, axis=-1)
 
+    # ---- subclass hooks (weapons) ----
+    def _split_action(self, action: jnp.ndarray):
+        """(flight demands [n, 4] in [-1, 1], fire bits [n] or None);
+        the base team game is guns-only."""
+        return jnp.clip(action, -1.0, 1.0), None
+
+    def _weapon_phase(self, state: CombatState, mstate, xdot: jnp.ndarray,
+                      alive_g: jnp.ndarray, fire, perm, key_sorted):
+        """Subclass hook between the FDM scan and blood accounting.
+
+        Returns (state, extra_incoming [E, m], extra_dealt [E, m],
+        reward_adjust [E, m], info dict). The base game has no weapons
+        beyond the gun damage computed inline in step().
+        """
+        E, m = self.num_envs, self.num_agents
+        z = jnp.zeros((E, m), jnp.float32)
+        return state, z, z, z, {}
+
     # ---- step ----
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, state: CombatState, action: jnp.ndarray
              ) -> Tuple[CombatState, StepOutput]:
         state = self._masked_reset(state)
-        action = jnp.clip(action, -1.0, 1.0)
+        action, fire = self._split_action(action)
         E, m, h = self.num_envs, self.num_agents, self.half
         alive_pre = state.blood > 0.0                        # [n]
 
@@ -426,6 +444,10 @@ class MultipleCombatEnv(SingleCombatEnv):
         victim_onehot = (target[:, :, None] == rows[None, None, :])
         incoming = jnp.einsum("eij,ei->ej", victim_onehot.astype(dmg.dtype),
                               dmg)
+
+        state, w_incoming, w_dealt, r_adj, w_info = self._weapon_phase(
+            state, mstate, xdot, alive_g, fire, perm, key_sorted)
+        incoming = incoming + w_incoming
         blood = state.blood - incoming.reshape(-1)
         alive_post = blood > 0.0
         alive_post_g = self._group(alive_post)
@@ -442,8 +464,9 @@ class MultipleCombatEnv(SingleCombatEnv):
                    * alive_g * has_target)                   # [E, m]
         team_post = (posture[:, :h].sum(1)[:, None] * (rows < h)[None, :]
                      + posture[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
-        dealt = (dmg[:, :h].sum(1)[:, None] * (rows < h)[None, :]
-                 + dmg[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
+        dmg_all = dmg + w_dealt
+        dealt = (dmg_all[:, :h].sum(1)[:, None] * (rows < h)[None, :]
+                 + dmg_all[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
         taken = (incoming[:, :h].sum(1)[:, None] * (rows < h)[None, :]
                  + incoming[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
         own_wiped = ~jnp.any(alive_post_g[:, :h], axis=1)    # [E]
@@ -452,9 +475,10 @@ class MultipleCombatEnv(SingleCombatEnv):
                               enm_wiped[:, None])            # [E, m]
         wiped_enm = jnp.where((rows < h)[None, :], enm_wiped[:, None],
                               own_wiped[:, None])
-        reward = ((team_post + 0.1 * (dealt - taken)) / h
+        reward = ((team_post + 0.1 * (dealt - taken)) / h + r_adj
                   + 200.0 * (wiped_enm & ~wiped_own)
                   - 200.0 * wiped_own).reshape(-1)
+        info.update(w_info)
 
         new_state = new_state.replace(is_done=done, bad_done=bad,
                                       exceed_time_limit=exceed)
@@ -505,8 +529,7 @@ class MultipleCombatEnv(SingleCombatEnv):
         R3 = self._all_pairs(pos_g, vel_g, planar=False)[2]
         perm, _ = self._nearest_enemy_perm(R3, alive_g)      # [E, m, h]
         parts.append(block(perm).reshape(E, m, h * 7))
-        return jnp.concatenate(parts, axis=-1).reshape(
-            self.n, self.num_observation)
+        return jnp.concatenate(parts, axis=-1).reshape(self.n, -1)
 
     # ---- team termination ----
     def _team_termination(self, state: CombatState, xdot: jnp.ndarray,

@@ -43,8 +43,17 @@ from ..ops.missile import (MissileState, clear_missiles, init_missiles,
                            launch_missiles, step_missiles)
 from ..utils.config import EnvConfig
 from ..utils.math import distance_fn, orientation_fn
-from .combat import FT, CombatState, SingleCombatEnv
+from .combat import FT, CombatState, MultipleCombatEnv, SingleCombatEnv
 from .types import StepOutput
+
+
+def decode_shoot_action(action: jnp.ndarray, nvec: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ShootTuple [n, 5] (discrete indices + shoot bit) ->
+    ([n, 4] demands in [-1, 1], fire [n] bool)."""
+    idx = jnp.clip(jnp.round(action[:, :4]), 0.0, nvec - 1.0)
+    demands = idx / (nvec - 1.0) * 2.0 - 1.0
+    return demands, action[:, 4] > 0.5
 
 
 @struct.dataclass
@@ -91,11 +100,7 @@ class SingleCombatShootEnv(SingleCombatEnv):
     # ---- action decode ----
     def _decode(self, action: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[n, 5] (discrete indices + shoot bit) -> ([n, 4] in [-1, 1],
-        fire [n] bool)."""
-        idx = jnp.clip(jnp.round(action[:, :4]), 0.0, self._nvec - 1.0)
-        demands = idx / (self._nvec - 1.0) * 2.0 - 1.0
-        return demands, action[:, 4] > 0.5
+        return decode_shoot_action(action, self._nvec)
 
     # ---- observation (15 base dims + 3 missile dims) ----
     def _obs(self, state: ShootCombatState,
@@ -177,3 +182,158 @@ class SingleCombatShootEnv(SingleCombatEnv):
         return new_state, StepOutput(obs=obs, reward=reward, done=done,
                                      bad_done=bad, exceed_time_limit=exceed,
                                      info=info)
+
+
+@struct.dataclass
+class TeamShootCombatState(CombatState):
+    ammo: jnp.ndarray = None            # [n] int32
+    cooldown: jnp.ndarray = None        # [n] float32 s
+    missiles: MissileState = None       # [n, K] slots
+    missile_target: jnp.ndarray = None  # [n, K] int32 within-group victim
+
+
+class MultipleCombatShootEnv(MultipleCombatEnv):
+    """nvn TEAM combat + missiles: ShootTuple action head under MAPPO.
+
+    Extends the team game (`combat.py:MultipleCombatEnv`, the realized
+    intent of `envs/multiplecombat_env.py:24-271`) with the weapon layer of
+    `SingleCombatShootEnv`, via the `_split_action`/`_weapon_phase` hooks:
+
+    - each missile LOCKS its victim at launch (nearest alive enemy, the
+      same `perm[:, :, 0]` pairing the gun damage uses) and homes on the
+      locked target by stored within-group index — fire-and-forget, so a
+      shooter's death does not disarm missiles already in the air;
+    - dead agents cannot fire; hits on already-dead victims deal/record
+      no damage (no reward for shooting a corpse);
+    - missile damage rides the same team accounting as gun damage: it
+      drains the victim's blood (so team-wipe +-200 events score kills),
+      and enters the 0.1 * (dealt - taken) shaping term;
+    - the per-launch `missile_shoot_cost` is team-shared (summed over the
+      team's launches / h), keeping the reward identical for teammates;
+    - obs = team layout + 3 dims per agent: [ammo fraction, incoming-
+      missile alert, nearest incoming range (10 km units, 0 when clear)],
+      where "incoming" means active missiles whose LOCKED victim is me.
+    """
+
+    def __init__(self, num_envs: int = 1,
+                 config: "str | EnvConfig" = "multiple_selfplay_shoot"):
+        super().__init__(num_envs, config)
+        cfg = self.config
+        self.action_space = ShootTuple(
+            (cfg.throttle_bins,) + (cfg.attitude_bins,) * 3)
+        self.num_actions = self.action_space.dim
+        self.num_observation += 3
+        self._nvec = jnp.asarray(self.action_space.nvec, jnp.float32)
+
+    # ---- lifecycle ----
+    def init_state(self, key: jax.Array) -> TeamShootCombatState:
+        base = super().init_state(key)
+        cfg = self.config
+        return TeamShootCombatState(
+            **{f.name: getattr(base, f.name)
+               for f in dataclasses.fields(base)},
+            ammo=jnp.full((self.n,), cfg.max_missiles, jnp.int32),
+            cooldown=jnp.zeros(self.n, jnp.float32),
+            missiles=init_missiles(self.n, cfg.max_missiles),
+            missile_target=jnp.zeros((self.n, cfg.max_missiles), jnp.int32))
+
+    def _reset_extras(self, state: TeamShootCombatState,
+                      mask: jnp.ndarray) -> TeamShootCombatState:
+        cfg = self.config
+        return state.replace(
+            ammo=jnp.where(mask, cfg.max_missiles, state.ammo),
+            cooldown=jnp.where(mask, 0.0, state.cooldown),
+            missiles=clear_missiles(state.missiles, mask),
+            missile_target=jnp.where(mask[:, None], 0, state.missile_target))
+
+    # ---- hooks ----
+    def _split_action(self, action: jnp.ndarray):
+        return decode_shoot_action(action, self._nvec)
+
+    def _weapon_phase(self, state: TeamShootCombatState, mstate,
+                      xdot: jnp.ndarray, alive_g: jnp.ndarray, fire,
+                      perm, key_sorted):
+        cfg = self.config
+        E, m, h = self.num_envs, self.num_agents, self.half
+        n, K = self.n, cfg.max_missiles
+        alive = alive_g.reshape(-1)
+        dt_e = self.inner_steps * cfg.dt
+
+        # flight toward the LOCKED victim (stored within-group index)
+        base = (jnp.arange(n) // m) * m                       # [n]
+        tgt_flat = (base[:, None] + state.missile_target).reshape(-1)
+        tgt_pos = mstate.s[tgt_flat, :3].reshape(n, K, 3)
+        tgt_vel = xdot[tgt_flat, :3].reshape(n, K, 3)
+        missiles, hits = step_missiles(
+            state.missiles, tgt_pos, tgt_vel,
+            dt=dt_e, speed=cfg.missile_speed, nav_gain=cfg.missile_nav_gain,
+            g_max=cfg.missile_g_max, duration=cfg.missile_duration,
+            hit_radius=cfg.missile_hit_radius)
+
+        # launch at the nearest alive enemy; dead agents cannot fire
+        target_within = perm[:, :, 0].reshape(-1)             # [n]
+        has_target = jnp.isfinite(key_sorted[:, :, 0]).reshape(-1)
+        can = (fire & alive & has_target & (state.ammo > 0)
+               & (state.cooldown <= 0.0))
+        slot = cfg.max_missiles - state.ammo
+        missiles = launch_missiles(missiles, slot, can, mstate.s[:, :3],
+                                   xdot[:, :3], speed=cfg.missile_speed)
+        sel = can[:, None] & (jnp.arange(K)[None, :] == slot[:, None])
+        missile_target = jnp.where(sel, target_within[:, None],
+                                   state.missile_target)
+        ammo = state.ammo - can.astype(jnp.int32)
+        cooldown = jnp.where(can, cfg.missile_cooldown,
+                             jnp.maximum(state.cooldown - dt_e, 0.0))
+
+        # damage: one-hot over the locked victims (pre-launch targets —
+        # a missile cannot hit on its launch step); corpses take nothing
+        victim_alive = alive[(base[:, None]
+                              + state.missile_target).reshape(-1)]
+        eff = hits & victim_alive.reshape(n, K)               # [n, K]
+        onehot = (state.missile_target[..., None]
+                  == jnp.arange(m)[None, None, :])            # [n, K, m]
+        per_victim = (eff[..., None] & onehot).sum(1)         # [n, m]
+        w_incoming = (cfg.missile_damage
+                      * per_victim.reshape(E, m, m).sum(1)
+                      .astype(jnp.float32))                   # [E, m]
+        w_dealt = (cfg.missile_damage
+                   * eff.sum(1).reshape(E, m).astype(jnp.float32))
+
+        # team-shared launch cost (reward stays identical across the team)
+        fires_g = can.reshape(E, m).astype(jnp.float32)
+        rows = jnp.arange(m)
+        team_fire = (fires_g[:, :h].sum(1)[:, None] * (rows < h)[None, :]
+                     + fires_g[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
+        r_adj = -cfg.missile_shoot_cost * team_fire / h
+
+        info = {"shoot/launches": can.sum(), "shoot/hits": eff.sum()}
+        state = state.replace(missiles=missiles, ammo=ammo,
+                              cooldown=cooldown,
+                              missile_target=missile_target)
+        return state, w_incoming, w_dealt, r_adj, info
+
+    # ---- observation ----
+    def _team_obs(self, state: TeamShootCombatState, xdot: jnp.ndarray,
+                  alive_g: jnp.ndarray) -> jnp.ndarray:
+        base = super()._team_obs(state, xdot, alive_g)
+        cfg = self.config
+        E, m = self.num_envs, self.num_agents
+        mis = state.missiles
+        K = mis.active.shape[1]
+        pos_g = mis.pos.reshape(E, m, K, 3)
+        act_g = mis.active.reshape(E, m, K)
+        tgt_g = state.missile_target.reshape(E, m, K)
+        my_pos = self._group(state.model.s[:, :3])            # [E, m, 3]
+        d = jnp.linalg.norm(
+            pos_g[:, :, :, None, :] - my_pos[:, None, None, :, :],
+            axis=-1)                                          # [E, m, K, m]
+        targeting = (act_g[..., None]
+                     & (tgt_g[..., None] == jnp.arange(m)[None, None, None]))
+        nearest = jnp.where(targeting, d, jnp.inf).min(axis=(1, 2))  # [E, m]
+        alert = jnp.isfinite(nearest)
+        extra = jnp.stack([
+            state.ammo.astype(jnp.float32).reshape(E, m) / cfg.max_missiles,
+            alert.astype(jnp.float32),
+            jnp.where(alert, nearest, 0.0) * FT / 10000.0,
+        ], axis=-1)                                           # [E, m, 3]
+        return jnp.concatenate([base, extra.reshape(self.n, 3)], axis=1)

@@ -77,15 +77,20 @@ def step_missiles(m: MissileState, target_pos: jnp.ndarray,
                   target_vel: jnp.ndarray, *, dt: float, speed: float,
                   nav_gain: float, g_max: float, duration: float,
                   hit_radius: float) -> Tuple[MissileState, jnp.ndarray]:
-    """Advance every missile one env step toward its shooter's target.
+    """Advance every missile one env step toward its target.
 
-    target_pos/target_vel are [n, 3] (each shooter's single target —
-    1v1 pairing resolves the target before the call). Returns the new
-    state and hits [n, K] (True where an active missile passed within
-    `hit_radius` of its target during this step; hit missiles deactivate).
+    target_pos/target_vel are [n, 3] (one target per shooter — 1v1
+    pairing resolves it before the call) or [n, K, 3] (per-slot targets,
+    locked at launch — the team game gathers them from the stored victim
+    index). Returns the new state and hits [n, K] (True where an active
+    missile passed within `hit_radius` of its target during this step;
+    hit missiles deactivate).
     """
-    rel_pos = target_pos[:, None, :] - m.pos          # [n, K, 3]
-    rel_vel = target_vel[:, None, :] - m.vel
+    if target_pos.ndim == 2:
+        target_pos = target_pos[:, None, :]            # broadcast over K
+        target_vel = target_vel[:, None, :]
+    rel_pos = target_pos - m.pos                       # [n, K, 3]
+    rel_vel = target_vel - m.vel
 
     # continuous collision over the step (pre-update kinematics)
     miss = segment_min_dist(rel_pos, rel_vel, dt)

@@ -25,7 +25,8 @@ class MAPPOSelfplayRunner(SelfplayRunner):
     def _build_policy(self, env, cfg: RLConfig):
         half = env.num_agents // 2
         policy = MAPPOPolicy(cfg, env.num_observation,
-                             env.num_observation * half, env.num_actions)
+                             env.num_observation * half, env.num_actions,
+                             act_space=getattr(env, "action_space", None))
         return policy, MAPPOTrainer(cfg, policy)
 
     def init_carry(self, key: jax.Array) -> SelfplayCarry:

@@ -168,7 +168,10 @@ def render_combat(args) -> None:
     # team scenarios (e.g. multiple_selfplay 2v2) use the nvn env; "shoot"
     # scenarios the missile env; the reference's render_singlecombat is
     # 1v1-gun-only - both renders are framework additions on top of it
-    if "multiple" in args.scenario:
+    if "multiple" in args.scenario and "shoot" in args.scenario:
+        from ..envs import MultipleCombatShootEnv
+        env_cls = MultipleCombatShootEnv
+    elif "multiple" in args.scenario:
         env_cls = MultipleCombatEnv
     elif "shoot" in args.scenario:
         from ..envs import SingleCombatShootEnv

@@ -46,7 +46,8 @@ def get_parser() -> argparse.ArgumentParser:
     # env
     p.add_argument("--env-name", default="Control",
                    choices=["Control", "Planning", "SingleCombat",
-                            "SingleCombatShoot", "MultipleCombat"])
+                            "SingleCombatShoot", "MultipleCombat",
+                            "MultipleCombatShoot"])
     p.add_argument("--scenario-name", default="heading")
     p.add_argument("--model-name", default="F16", choices=["F16", "UAV", "C172P"])
     # buffer
@@ -188,6 +189,9 @@ def make_env(args: argparse.Namespace, num_envs: int = None):
         return SingleCombatShootEnv(num_envs=n, config=args.scenario_name)
     if args.env_name == "MultipleCombat":
         return MultipleCombatEnv(num_envs=n, config=args.scenario_name)
+    if args.env_name == "MultipleCombatShoot":
+        from ..envs import MultipleCombatShootEnv
+        return MultipleCombatShootEnv(num_envs=n, config=args.scenario_name)
     raise NotImplementedError(args.env_name)
 
 
@@ -196,8 +200,8 @@ def main(argv=None) -> None:
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
     args = get_parser().parse_args(argv)
-    if (args.env_name == "MultipleCombat" and args.use_selfplay
-            and args.algorithm_name != "mappo"):
+    if (args.env_name in ("MultipleCombat", "MultipleCombatShoot")
+            and args.use_selfplay and args.algorithm_name != "mappo"):
         raise SystemExit(
             "MultipleCombat self-play requires --algorithm-name mappo: the "
             "team env has mid-episode deaths, and only the MAPPO runner's "

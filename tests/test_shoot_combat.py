@@ -186,3 +186,131 @@ def test_selfplay_ppo_trains_on_shoot_env(tmp_path):
           "--run-dir", str(tmp_path / "run")])
     lines = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
     assert lines, "no metrics logged"
+
+
+# ---------- team game (MultipleCombatShootEnv) ----------
+
+from neuralplane_tpu.envs import MultipleCombatShootEnv
+
+
+@pytest.fixture(scope="module")
+def tenv():
+    return MultipleCombatShootEnv(num_envs=2)
+
+
+def _copy(state):
+    return jax.tree.map(jnp.copy, state)
+
+
+def _team_actions(env, fire_mask):
+    """Neutral discrete demands + per-agent fire bits [n]."""
+    a = jnp.concatenate([
+        jnp.tile(jnp.array([[15.0, 20.0, 20.0, 20.0]]), (env.n, 1)),
+        jnp.asarray(fire_mask, jnp.float32)[:, None]], axis=1)
+    return a
+
+
+def test_team_shoot_contract(tenv):
+    # 2v2 team layout (9 + 7 + 14 = 30) + 3 missile dims
+    assert tenv.num_observation == 33
+    assert tenv.action_space.nvec == (30, 41, 41, 41)
+    state, obs = tenv.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (tenv.n, 33)
+    np.testing.assert_allclose(np.asarray(obs[:, 30]), 1.0)  # ammo frac
+    np.testing.assert_allclose(np.asarray(obs[:, 31]), 0.0)  # no alert
+
+
+def test_team_lock_nearest_alive_and_hit(tenv):
+    """Missile locks the nearest ALIVE enemy at launch and kills it."""
+    state, _ = tenv.reset(jax.random.PRNGKey(1))
+    m = tenv.num_agents
+    # group 0: ego 0 at origin northbound; enemy 2 head-on at 12000 ft
+    # (outside the 3 km gun-damage range), enemy 3 far away
+    s = np.asarray(state.model.s).copy()
+    for i, (npos, head) in enumerate([(0.0, 0.0), (-3000.0, 0.0),
+                                      (12000.0, np.pi), (80000.0, np.pi)]):
+        s[i, 0], s[i, 1], s[i, 2] = npos, 0.0, 19500.0
+        s[i, 5], s[i, 6] = head, 1000.0
+        s[i, 3] = s[i, 4] = 0.0
+    state = state.replace(model=state.model.replace(
+        s=jnp.asarray(s), recent_s=jnp.asarray(s)))
+
+    fire0 = np.zeros(tenv.n); fire0[0] = 1.0
+    state, out = tenv.step(_copy(state), _team_actions(tenv, fire0))
+    assert int(out.info["shoot/launches"]) == 1
+    assert int(state.missile_target[0, 0]) == 2   # nearest alive enemy
+    hits = 0
+    no_fire = _team_actions(tenv, np.zeros(tenv.n))
+    for _ in range(400):
+        state, out = tenv.step(state, no_fire)
+        hits += int(out.info["shoot/hits"])
+        if hits:
+            break
+    assert hits == 1, "locked missile never connected"
+    blood = np.asarray(state.blood)
+    assert blood[2] <= 0.0                         # victim killed
+    assert blood[3] > 50.0                         # wingman untouched
+    # enemy-team wipe requires BOTH enemies dead - episode continues
+    assert not bool(out.done[0])
+
+
+def test_team_dead_cannot_fire_and_corpse_takes_no_damage(tenv):
+    from neuralplane_tpu.ops.missile import launch_missiles
+    state, _ = tenv.reset(jax.random.PRNGKey(2))
+    # kill agent 0 of every group; everyone tries to fire
+    blood = np.asarray(state.blood).copy()
+    blood[0::tenv.num_agents] = 0.0
+    state = state.replace(blood=jnp.asarray(blood))
+    state, out = tenv.step(_copy(state), _team_actions(tenv, np.ones(tenv.n)))
+    assert int(out.info["shoot/launches"]) == tenv.n - tenv.num_envs
+
+    # an active missile 100 ft from a DEAD victim connects for no damage
+    state2, _ = tenv.reset(jax.random.PRNGKey(3))
+    blood = np.asarray(state2.blood).copy()
+    blood[2] = 0.0                                 # corpse
+    victim_pos = np.asarray(state2.model.s[2, :3])
+    mis = launch_missiles(
+        state2.missiles, jnp.zeros(tenv.n, jnp.int32),
+        jnp.arange(tenv.n) == 0,
+        jnp.asarray(victim_pos - np.array([100.0, 0.0, 0.0]))[None, :]
+        * jnp.ones((tenv.n, 1)),
+        jnp.asarray([[2600.0, 0.0, 0.0]]) * jnp.ones((tenv.n, 1)),
+        speed=2600.0)
+    state2 = state2.replace(
+        blood=jnp.asarray(blood), missiles=mis,
+        missile_target=state2.missile_target.at[0, 0].set(2))
+    state2, out2 = tenv.step(_copy(state2),
+                             _team_actions(tenv, np.zeros(tenv.n)))
+    assert int(out2.info["shoot/hits"]) == 0
+    assert float(state2.blood[2]) == 0.0
+
+
+def test_team_shoot_cost_is_team_shared(tenv):
+    state, _ = tenv.reset(jax.random.PRNGKey(4))
+    fire0 = np.zeros(tenv.n); fire0[0] = 1.0
+    _, out_f = tenv.step(_copy(state), _team_actions(tenv, fire0))
+    _, out_n = tenv.step(_copy(state), _team_actions(tenv, np.zeros(tenv.n)))
+    diff = np.asarray(out_n.reward - out_f.reward).reshape(
+        tenv.num_envs, tenv.num_agents)
+    cost = tenv.config.missile_shoot_cost / tenv.half
+    np.testing.assert_allclose(diff[0, :2], cost, atol=1e-5)  # ego team pays
+    np.testing.assert_allclose(diff[0, 2:], 0.0, atol=1e-5)   # enemies don't
+    np.testing.assert_allclose(diff[1], 0.0, atol=1e-5)       # other group
+
+
+def test_team_shoot_mappo_trains(tmp_path):
+    """Full integration: ShootTuple head + centralized critic + selfplay."""
+    from neuralplane_tpu.scripts.train import main
+    main(["--env-name", "MultipleCombatShoot",
+          "--scenario-name", "multiple_selfplay_shoot",
+          "--algorithm-name", "mappo",
+          "--use-selfplay", "--use-prior", "--selfplay-algorithm", "fsp",
+          "--n-choose-opponents", "1", "--n-rollout-threads", "2",
+          "--num-env-steps", "40", "--buffer-size", "10",
+          "--num-mini-batch", "1", "--ppo-epoch", "1",
+          "--data-chunk-length", "5", "--log-interval", "1",
+          "--save-interval", "1", "--hidden-size", "32",
+          "--recurrent-hidden-size", "32",
+          "--run-dir", str(tmp_path / "run")])
+    lines = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+    assert lines, "no metrics logged"
