@@ -284,3 +284,31 @@ def test_ladder_probe_head_to_head(tmp_path):
     loaded = lp.load_actor(str(tmp_path), "a")
     assert jax.tree_util.tree_structure(loaded) == \
         jax.tree_util.tree_structure(p1)
+
+
+def test_ladder_probe_shoot_env():
+    """head_to_head drives the ShootTuple head envs (1v1 + team missiles)."""
+    import importlib.util
+    import os
+    from neuralplane_tpu.algorithms.ppo import PPOPolicy
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.envs import MultipleCombatShootEnv
+
+    spec = importlib.util.spec_from_file_location(
+        "ladder_probe", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "ladder_probe.py"))
+    lp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lp)
+
+    cfg = RLConfig(hidden_sizes=(16,), act_hidden_sizes=(8,),
+                   recurrent_hidden_size=8, use_prior=True)
+    env = MultipleCombatShootEnv(num_envs=2)
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
+                       act_space=env.action_space)
+    p1 = policy.init_params(jax.random.PRNGKey(1))["actor"]
+    p2 = policy.init_params(jax.random.PRNGKey(2))["actor"]
+    e, o, ends, ew, ow = lp.head_to_head(
+        env, policy, p1, p2, steps=15, key=jax.random.PRNGKey(0),
+        stochastic="both")
+    for v in (e, o, ends, ew, ow):
+        assert np.isfinite(v)

@@ -137,7 +137,10 @@ def main() -> None:
     p.add_argument("--opponents", nargs="+", required=True,
                    help="historical checkpoint names (pool episode numbers)")
     p.add_argument("--env", default="MultipleCombat",
-                   choices=["SingleCombat", "MultipleCombat"])
+                   choices=["SingleCombat", "MultipleCombat",
+                            "SingleCombatShoot", "MultipleCombatShoot"])
+    p.add_argument("--use-prior", action="store_true",
+                   help="apply the Beta shoot prior (match training)")
     p.add_argument("--scenario", default=None)
     p.add_argument("--num-envs", type=int, default=200)
     p.add_argument("--steps", type=int, default=2000)
@@ -156,19 +159,26 @@ def main() -> None:
     enable_persistent_cache()
     from neuralplane_tpu.algorithms.ppo import PPOPolicy
     from neuralplane_tpu.algorithms.rl_config import RLConfig
-    from neuralplane_tpu.envs import MultipleCombatEnv, SingleCombatEnv
+    from neuralplane_tpu.envs import (MultipleCombatEnv,
+                                      MultipleCombatShootEnv,
+                                      SingleCombatEnv, SingleCombatShootEnv)
 
-    if args.env == "SingleCombat":
-        env = SingleCombatEnv(num_envs=args.num_envs,
-                              config=args.scenario or "selfplay")
-    else:
-        env = MultipleCombatEnv(num_envs=args.num_envs,
-                                config=args.scenario or "multiple_selfplay")
+    env_cls, default_scn = {
+        "SingleCombat": (SingleCombatEnv, "selfplay"),
+        "SingleCombatShoot": (SingleCombatShootEnv, "selfplay_shoot"),
+        "MultipleCombat": (MultipleCombatEnv, "multiple_selfplay"),
+        "MultipleCombatShoot": (MultipleCombatShootEnv,
+                                "multiple_selfplay_shoot"),
+    }[args.env]
+    env = env_cls(num_envs=args.num_envs,
+                  config=args.scenario or default_scn)
     cfg = RLConfig(
         hidden_sizes=tuple(int(x) for x in args.hidden_size.split()),
         act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
-        recurrent_hidden_size=args.recurrent_hidden_size)
-    policy = PPOPolicy(cfg, env.num_observation, env.num_actions)
+        recurrent_hidden_size=args.recurrent_hidden_size,
+        use_prior=args.use_prior)
+    policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
+                       act_space=getattr(env, "action_space", None))
     final = load_actor(args.ckpt_dir, args.final)
 
     rows = []
