@@ -98,6 +98,9 @@ class MAPPOSelfplayRunner(SelfplayRunner):
             action_log_probs=logp, value_preds=values,
             done_count=out.done.sum() + out.bad_done.sum(),
         )
+        for k in ("shoot/launches", "shoot/hits"):
+            if k in out.info:
+                step_data[k.replace("/", "_")] = out.info[k]
         new_carry = SelfplayCarry(
             env_state=env_state, ego_obs=ego_obs, opp_obs=opp_obs,
             h_actor=h_a, h_critic=h_c, h_opp=h_opp, ego_masks=next_masks,
@@ -145,4 +148,6 @@ class MAPPOSelfplayRunner(SelfplayRunner):
             rnn_states_actor=h0_a,
             rnn_states_critic=h0_c,
         )
-        return carry, batch, steps["done_count"].sum()
+        counters = {k: steps[k].sum() for k in steps
+                    if k.startswith("shoot_") or k == "done_count"}
+        return carry, batch, counters

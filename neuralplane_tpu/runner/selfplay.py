@@ -238,6 +238,11 @@ class SelfplayRunner(Runner):
             action_log_probs=logp, value_preds=values,
             done_count=out.done.sum() + out.bad_done.sum(),
         )
+        # weapon envs expose launch/hit counts; fold them into the scanned
+        # counters so training logs carry combat activity (kills/episode)
+        for k in ("shoot/launches", "shoot/hits"):
+            if k in out.info:
+                step_data[k.replace("/", "_")] = out.info[k]
         new_carry = SelfplayCarry(
             env_state=env_state, ego_obs=ego_obs, opp_obs=opp_obs,
             h_actor=h_a, h_critic=h_c, h_opp=h_opp, ego_masks=next_masks,
@@ -279,7 +284,9 @@ class SelfplayRunner(Runner):
             rnn_states_actor=h0_a,
             rnn_states_critic=h0_c,
         )
-        return carry, batch, steps["done_count"].sum()
+        counters = {k: steps[k].sum() for k in steps
+                    if k.startswith("shoot_") or k == "done_count"}
+        return carry, batch, counters
 
     # ---- evaluation vs pool + ELO (reference :133-241) ----
     def eval_elo(self, num_steps: Optional[int] = None) -> Dict[str, float]:
@@ -423,7 +430,7 @@ class SelfplayRunner(Runner):
             from ..parallel import shard_env_state
             carry = shard_env_state(carry, self.mesh)
         for episode in range(episodes):
-            carry, batch, done_count = self.collect(
+            carry, batch, counters = self.collect(
                 self.train_state.params, self.opponent_params, carry)
             train_infos = self.train(batch)
             total = (episode + 1) * steps_per_episode
@@ -435,6 +442,9 @@ class SelfplayRunner(Runner):
                 train_infos["average_episode_rewards"] = avg
                 train_infos["fps"] = int(total / (time.time() - start))
                 train_infos["latest_elo"] = self.latest_elo
+                for k, v in counters.items():
+                    if k.startswith("shoot_"):
+                        train_infos[k] = int(v)
                 self.log_info(train_infos, total)
 
             if cfg.use_eval and episode % cfg.eval_interval == 0 and episode:
