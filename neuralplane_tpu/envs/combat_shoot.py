@@ -148,9 +148,13 @@ class SingleCombatShootEnv(SingleCombatEnv):
             g_max=cfg.missile_g_max, duration=cfg.missile_duration,
             hit_radius=cfg.missile_hit_radius)
 
-        # launches (ammo + cooldown gating); the new missile first flies
-        # on the NEXT step - this one it only appears on the rail
-        fire = fire_bit & (state.ammo > 0) & (state.cooldown <= 0.0)
+        # launches (WEZ + ammo + cooldown gating); the new missile first
+        # flies on the NEXT step - this one it only appears on the rail
+        AO, TA, R, _ = self._pair_geometry(
+            state.replace(model=mstate), xdot, planar=False)
+        wez = ((AO <= jnp.deg2rad(cfg.wez_max_ao_deg))
+               & (R <= cfg.wez_max_range))
+        fire = fire_bit & wez & (state.ammo > 0) & (state.cooldown <= 0.0)
         missiles = launch_missiles(
             missiles, cfg.max_missiles - state.ammo, fire,
             mstate.s[:, :3], xdot[:, :3], speed=cfg.missile_speed)
@@ -160,8 +164,6 @@ class SingleCombatShootEnv(SingleCombatEnv):
 
         # blood: gun-style posture damage (singlecombat_env.py:263-271)
         # plus missile_damage per hit taken
-        AO, TA, R, _ = self._pair_geometry(
-            state.replace(model=mstate), xdot, planar=False)
         dmg = orientation_fn(AO) * distance_fn(R * FT / 1000.0)
         hits_on_me = hits[opp].sum(axis=1).astype(jnp.float32)   # [n]
         blood = (state.blood - dmg[opp]
@@ -270,10 +272,22 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
             g_max=cfg.missile_g_max, duration=cfg.missile_duration,
             hit_radius=cfg.missile_hit_radius)
 
-        # launch at the nearest alive enemy; dead agents cannot fire
+        # launch at the nearest alive enemy; dead agents cannot fire, and
+        # the WEZ gate (|AO| / range to the candidate lock) applies
         target_within = perm[:, :, 0].reshape(-1)             # [n]
         has_target = jnp.isfinite(key_sorted[:, :, 0]).reshape(-1)
-        can = (fire & alive & has_target & (state.ammo > 0)
+        tw_flat = base + target_within
+        dpos = mstate.s[tw_flat, :3] - mstate.s[:, :3]
+        v = xdot[:, :3]
+        AO_l = jnp.arccos(jnp.clip(
+            jnp.sum(dpos * v, axis=-1)
+            / (jnp.linalg.norm(dpos, axis=-1)
+               * jnp.linalg.norm(v, axis=-1) + 1e-8), -1.0, 1.0))
+        R_l = jnp.where(has_target, key_sorted[:, :, 0].reshape(-1),
+                        jnp.inf)
+        wez = ((AO_l <= jnp.deg2rad(cfg.wez_max_ao_deg))
+               & (R_l <= cfg.wez_max_range))
+        can = (fire & alive & has_target & wez & (state.ammo > 0)
                & (state.cooldown <= 0.0))
         slot = cfg.max_missiles - state.ammo
         missiles = launch_missiles(missiles, slot, can, mstate.s[:, :3],

@@ -101,6 +101,16 @@ class EnvConfig:
     missile_cooldown: float = 4.0      # s between launches
     missile_nav_gain: float = 3.0      # PN navigation constant N'
     missile_shoot_cost: float = 5.0    # reward penalty per launch
+    # weapons-engagement-zone launch gate: a launch only leaves the rail
+    # with the target inside |AO| < wez_max_ao_deg AND R < wez_max_range.
+    # Without the gate the game is a first-strike lottery (a pure-PN
+    # missile connects from almost any aspect, so spray-on-sight beats
+    # every flying skill and self-play collapses to trigger passivity —
+    # measured on the first 1v1 shoot run); with it, kills are earned by
+    # the same posture game the gun envs train, and the shoot head still
+    # owns within-WEZ trigger discipline.
+    wez_max_ao_deg: float = 60.0
+    wez_max_range: float = 20000.0     # ft
     attitude_bins: int = 41            # discrete roll/pitch/yaw demand bins
     throttle_bins: int = 30            # discrete throttle bins
 

@@ -96,6 +96,24 @@ def env():
     return SingleCombatShootEnv(num_envs=4)
 
 
+def _nose_on(env, state, rng_ft=12000.0, lateral=5000.0):
+    """Place every pairing nose-on inside the WEZ: ego k northbound at the
+    origin row, its opponent southbound rng_ft ahead (AO = 0 both ways)."""
+    m = env.num_agents
+    h = m // 2
+    s = np.asarray(state.model.s).copy()
+    for e in range(env.num_envs):
+        for k in range(h):
+            i, j = e * m + k, e * m + h + k
+            s[i, :3] = [0.0, k * lateral, 19500.0]
+            s[j, :3] = [rng_ft, k * lateral, 19500.0]
+            s[i, 5], s[j, 5] = 0.0, np.pi
+            s[i, 6] = s[j, 6] = 1000.0
+            s[i, 3] = s[i, 4] = s[j, 3] = s[j, 4] = 0.0
+    sj = jnp.asarray(s)
+    return state.replace(model=state.model.replace(s=sj, recent_s=sj))
+
+
 def test_shoot_env_contract(env):
     assert env.num_observation == 18
     assert env.num_actions == 5
@@ -119,10 +137,11 @@ def test_decode_bins(env):
 
 def test_launch_gating_and_obs_alert(env):
     state, _ = env.reset(jax.random.PRNGKey(1))
+    state = _nose_on(env, state)
     fire_all = jnp.concatenate(
         [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
     state, out = env.step(state, fire_all)
-    assert int(out.info["shoot/launches"]) == env.n       # everyone fires
+    assert int(out.info["shoot/launches"]) == env.n       # all in WEZ: fire
     state, out = env.step(state, fire_all)
     assert int(out.info["shoot/launches"]) == 0           # cooldown blocks
     assert int(state.ammo[0]) == env.config.max_missiles - 1
@@ -133,18 +152,39 @@ def test_launch_gating_and_obs_alert(env):
     np.testing.assert_allclose(np.asarray(out.obs[:, 15]), 0.75)
 
 
+def test_wez_gate_blocks_out_of_envelope_launches(env):
+    """Tail-aspect (AO ~ pi) and beyond-range launches stay on the rail."""
+    state, _ = env.reset(jax.random.PRNGKey(7))
+    fire_all = jnp.concatenate(
+        [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
+    # both fly north in trail: the leader's AO to the chaser is pi
+    state_t = _nose_on(env, state)
+    s = np.asarray(state_t.model.s).copy()
+    s[1::2, 5] = 0.0                     # opponents turn northbound too
+    sj = jnp.asarray(s)
+    state_t = state_t.replace(model=state_t.model.replace(s=sj, recent_s=sj))
+    _, out = env.step(state_t, fire_all)
+    assert int(out.info["shoot/launches"]) == env.num_envs  # chasers only
+    # nose-on but outside wez_max_range
+    state_f = _nose_on(env, state, rng_ft=30000.0)
+    _, out = env.step(state_f, fire_all)
+    assert int(out.info["shoot/launches"]) == 0
+
+
 def test_missile_hit_drains_blood_and_reward_cost(env):
     """Drive until a hit lands; blood must drop by missile_damage and the
     shutdown termination must fire for the victim's episode."""
     state, _ = env.reset(jax.random.PRNGKey(2))
+    state = _nose_on(env, state)
     fire_all = jnp.concatenate(
         [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
     no_fire = fire_all.at[:, 4].set(0.0)
 
+    copy = jax.tree.map(jnp.copy, state)
     state, out = env.step(state, fire_all)
     # launch cost shows up in the reward
     r_fire = np.asarray(out.reward)
-    state2, out2 = env.step(state, no_fire)
+    state2, out2 = env.step(copy, no_fire)
     assert (r_fire <= np.asarray(out2.reward) + 1e-5).all()
 
     hits_total = 0
@@ -159,16 +199,19 @@ def test_missile_hit_drains_blood_and_reward_cost(env):
 
 def test_masked_reset_restores_missile_state(env):
     state, _ = env.reset(jax.random.PRNGKey(3))
+    state = _nose_on(env, state)
     fire_all = jnp.concatenate(
         [jnp.full((env.n, 4), 20.0), jnp.ones((env.n, 1))], axis=1)
+    no_fire = fire_all.at[:, 4].set(0.0)
     state, _ = env.step(state, fire_all)
     assert int(state.missiles.active.sum()) == env.n
+    assert int(state.ammo.max()) == env.config.max_missiles - 1
     # force done on every group -> next step's masked reset rearms everyone
     state = state.replace(is_done=jnp.ones(env.n, bool))
-    state, out = env.step(state, fire_all)
-    # reset happened BEFORE the step, which then fired fresh missiles
-    assert int(state.ammo.min()) == env.config.max_missiles - 1
-    np.testing.assert_allclose(np.asarray(out.obs[:, 15]), 0.75)
+    state, out = env.step(state, no_fire)
+    assert int(state.ammo.min()) == env.config.max_missiles
+    assert int(state.missiles.active.sum()) == 0
+    np.testing.assert_allclose(np.asarray(out.obs[:, 15]), 1.0)
 
 
 def test_selfplay_ppo_trains_on_shoot_env(tmp_path):
@@ -257,6 +300,7 @@ def test_team_lock_nearest_alive_and_hit(tenv):
 def test_team_dead_cannot_fire_and_corpse_takes_no_damage(tenv):
     from neuralplane_tpu.ops.missile import launch_missiles
     state, _ = tenv.reset(jax.random.PRNGKey(2))
+    state = _nose_on(tenv, state)   # everyone in WEZ of its facing partner
     # kill agent 0 of every group; everyone tries to fire
     blood = np.asarray(state.blood).copy()
     blood[0::tenv.num_agents] = 0.0
@@ -287,6 +331,7 @@ def test_team_dead_cannot_fire_and_corpse_takes_no_damage(tenv):
 
 def test_team_shoot_cost_is_team_shared(tenv):
     state, _ = tenv.reset(jax.random.PRNGKey(4))
+    state = _nose_on(tenv, state)
     fire0 = np.zeros(tenv.n); fire0[0] = 1.0
     _, out_f = tenv.step(_copy(state), _team_actions(tenv, fire0))
     _, out_n = tenv.step(_copy(state), _team_actions(tenv, np.zeros(tenv.n)))

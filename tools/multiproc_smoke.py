@@ -77,8 +77,9 @@ def main() -> None:
         runner = MAPPOSelfplayRunner(env, cfg, run_dir=run_dir, mesh=mesh)
         carry = shard_env_state(runner.init_carry(jax.random.PRNGKey(0)),
                                 mesh)
-        carry, batch, done_count = runner.collect(
+        carry, batch, counters = runner.collect(
             runner.train_state.params, runner.opponent_params, carry)
+        done_count = counters["done_count"]
     else:
         from neuralplane_tpu.envs import ControlEnv
         from neuralplane_tpu.runner import F16SimRunner
