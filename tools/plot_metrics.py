@@ -24,6 +24,9 @@ def main() -> None:
         ("average_episode_rewards", "avg episode reward"),
         ("episodes_reached_target", "targets reached / rollout"),
         ("termination/overload", "overload crashes / rollout"),
+        ("latest_elo", "ELO vs pool"),
+        ("shoot_launches", "missile launches / rollout"),
+        ("shoot_hits", "missile hits / rollout"),
         ("value_loss", "value loss"),
         ("policy_entropy_loss", "entropy (neg)"),
         ("fps", "env steps / s"),
