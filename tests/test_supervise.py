@@ -39,6 +39,26 @@ def test_merge_legs(tmp_path):
     assert merged[-1]["wall_s"] == 3.0 + 2.0
 
 
+def test_merge_legs_skips_metricless_legs(tmp_path):
+    """A leg that died before its first metrics row (relay down through the
+    whole stall window - observed in production 2026-08-20) contributes
+    nothing and does not break the step/wall offsets of later legs."""
+    legs = []
+    for k, rows in enumerate([[1000, 2000], [], [], [1000]]):
+        leg = tmp_path / f"leg_{k}"
+        os.makedirs(leg)
+        if rows:
+            with open(leg / "metrics.jsonl", "w") as f:
+                for s in rows:
+                    f.write(json.dumps({"step": s, "wall_s": s / 1000.0})
+                            + "\n")
+        legs.append(str(leg))
+    total = merge_legs(str(tmp_path), legs)
+    assert total == 3000
+    merged = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [r["step"] for r in merged] == [1000, 2000, 3000]
+
+
 def test_supervisor_stall_resume(tmp_path):
     """Leg 0 wedges after 3000 steps; the supervisor must kill it, resume
     from its checkpoint with the remaining budget, and merge to the full
