@@ -196,9 +196,14 @@ def render_combat(args) -> None:
     prev_active = None
     launches = hits = 0
 
+    key = jax.random.PRNGKey(args.seed + 1)
+    det = not getattr(args, "stochastic", False)
     for count in range(args.steps):
-        a_e, h_e = policy.act(ego, obs[:half], h_e, ones, deterministic=True)
-        a_o, h_o = policy.act(enm, obs[half:], h_o, ones, deterministic=True)
+        key, k1, k2 = jax.random.split(key, 3)
+        a_e, h_e = policy.act(ego, obs[:half], h_e, ones, key=k1,
+                              deterministic=det)
+        a_o, h_o = policy.act(enm, obs[half:], h_o, ones, key=k2,
+                              deterministic=det)
         state, out = env.step(state, jnp.concatenate([a_e, a_o], axis=0))
         obs = out.obs
         s = np.asarray(state.model.s)
@@ -260,6 +265,11 @@ def main(argv=None) -> None:
     p.add_argument("--num-envs", type=int, default=1)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stochastic", action="store_true",
+                   help="combat mode: SAMPLE both policies instead of the "
+                   "deterministic reference protocol - the behavioral "
+                   "matchup self-play actually trains (a deterministic "
+                   "missile duel between posture-fighters may never fire)")
     p.add_argument("--out", default="render_out")
     from ..utils.cache import enable_persistent_cache
     enable_persistent_cache()
