@@ -359,3 +359,40 @@ def test_team_shoot_mappo_trains(tmp_path):
           "--run-dir", str(tmp_path / "run")])
     lines = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
     assert lines, "no metrics logged"
+
+
+def test_pn_g_limit_sets_evadability():
+    """Chase kinematics behind the WEZ design choice (REPORT): a 12 g
+    missile runs down even a max-rate breaking target, while at ~5 g a
+    hard level break JUST defeats the 200 ft kill radius — margins too
+    thin to hang the skill gradient on, hence the WEZ posture game."""
+    def chase(g_max, breaking):
+        m = init_missiles(1, 1)
+        m = launch_missiles(m, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+                            jnp.zeros((1, 3)),
+                            jnp.asarray([[1000.0, 0.0, 0.0]]), speed=2000.0)
+        tpos = np.array([12000.0, 0.0, 0.0])
+        tvel = np.array([-1000.0, 0.0, 0.0])      # head-on
+        dt = 0.02
+        for _ in range(int(20.0 / dt)):
+            d = np.linalg.norm(np.asarray(m.pos[0, 0]) - tpos)
+            if breaking and d < 8000.0:           # alerted: 5 g level break
+                w = 5.0 * 32.17 / 1000.0
+                c, s = np.cos(w * dt), np.sin(w * dt)
+                tvel = np.array([tvel[0] * c - tvel[1] * s,
+                                 tvel[0] * s + tvel[1] * c, 0.0])
+            tpos = tpos + tvel * dt
+            m, hits = step_missiles(
+                m, jnp.asarray(tpos)[None], jnp.asarray(tvel)[None],
+                dt=dt, speed=2000.0, nav_gain=3.0, g_max=g_max,
+                duration=20.0, hit_radius=200.0)
+            if bool(hits[0, 0]):
+                return True
+            if not bool(m.active[0, 0]):
+                return False
+        return False
+
+    assert chase(12.0, breaking=False)
+    assert chase(12.0, breaking=True)     # shipped missile: unavoidable
+    assert chase(5.0, breaking=False)     # still lethal vs the oblivious
+    assert not chase(5.0, breaking=True)  # a reacting target survives
