@@ -47,3 +47,24 @@ def test_exported_actor_matches_policy():
     a2_exp, _ = infer(obs2, h1e, mask)
     np.testing.assert_allclose(np.asarray(a2_exp), np.asarray(a2_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_exported_shoot_actor():
+    """The discrete ShootTuple head (incl. the Beta launch prior, which
+    reads obs slots 11/13 inside the traced fn) exports and reproduces the
+    live deterministic actions at any batch size."""
+    from neuralplane_tpu.algorithms.utils.spaces import ShootTuple
+
+    cfg = RLConfig(hidden_sizes=(16,), act_hidden_sizes=(8,),
+                   recurrent_hidden_size=8, use_prior=True)
+    policy = PPOPolicy(cfg, obs_dim=18,
+                       act_space=ShootTuple((30, 41, 41, 41)))
+    params = policy.init_params(jax.random.PRNGKey(1))
+    infer = load_actor(export_actor(policy, params))
+    for n in (1, 17):
+        obs = jax.random.normal(jax.random.PRNGKey(n), (n, 18))
+        h, _ = policy.init_rnn_states(n)
+        mask = jnp.ones((n, 1), jnp.float32)
+        a_ref, _ = policy.act(params, obs, h, mask, deterministic=True)
+        a_exp, _ = infer(obs, h, mask)
+        np.testing.assert_allclose(np.asarray(a_exp), np.asarray(a_ref))
