@@ -159,11 +159,18 @@ def build_head(space, gain: float = 0.01):
     raise NotImplementedError(f"Unsupported action space: {space!r}")
 
 
-def shoot_priors(obs: jnp.ndarray):
-    """Beta-prior pseudo-counts from obs slots 11 (attack angle, rad) and 13
-    (distance, 10 km units) - `ppo_actor.py:41-49`."""
-    attack_deg = jnp.rad2deg(obs[..., 11:12])
-    distance_m = obs[..., 13:14] * 10000.0
+def shoot_priors(obs: jnp.ndarray, ao_slot: int = 11, r_slot: int = 13):
+    """Beta-prior pseudo-counts from the attack-angle (rad) and distance
+    (10 km units) observation slots - `ppo_actor.py:41-49`.
+
+    The reference hardcodes slots 11/13 (the 1v1 layout); slot indices are
+    parameters here because the team obs layout puts the nearest-enemy
+    AO/R at 9 + 7*(h-1) + 2 / + 4 — envs expose `shoot_prior_slots` so the
+    prior is always keyed on the LOCK TARGET's geometry, not whatever
+    happens to sit at index 11 (in the team layout that is the teammate).
+    """
+    attack_deg = jnp.rad2deg(obs[..., ao_slot:ao_slot + 1])
+    distance_m = obs[..., r_slot:r_slot + 1] * 10000.0
     alpha0 = jnp.where(distance_m <= 8000.0, 10.0,
                        jnp.where(distance_m <= 12000.0, 6.0, 3.0))
     beta0 = jnp.where(attack_deg <= 22.5, 3.0,

@@ -27,11 +27,12 @@ from ..rl_config import RLConfig
 
 class MAPPOPolicy:
     def __init__(self, cfg: RLConfig, obs_dim: int, share_obs_dim: int,
-                 act_dim: int = None, act_space=None):
+                 act_dim: int = None, act_space=None, prior_slots=(11, 13)):
         self.cfg = cfg
         # actor (and its action-space dispatch) is the PPO policy's; only
         # its critic spec is replaced by the centralized one below
-        self._pp = PPOPolicy(cfg, obs_dim, act_dim, act_space)
+        self._pp = PPOPolicy(cfg, obs_dim, act_dim, act_space,
+                             prior_slots=prior_slots)
         self.spec = self._pp.spec
         self.act_space = self._pp.act_space
         self.cent_spec = nets.NetSpec.from_config(cfg, share_obs_dim,

@@ -32,7 +32,7 @@ class PPOPolicy:
     """Static config holder; all methods are pure functions of (params, ...)."""
 
     def __init__(self, cfg: RLConfig, obs_dim: int, act_dim: int = None,
-                 act_space=None):
+                 act_space=None, prior_slots=(11, 13)):
         self.cfg = cfg
         self.act_space = act_space if act_space is not None else Box((act_dim,))
         self.is_box = isinstance(self.act_space, Box)
@@ -43,6 +43,10 @@ class PPOPolicy:
             self.head = build_head(self.act_space, cfg.gain)
         self.use_prior = cfg.use_prior and isinstance(self.act_space,
                                                       ShootTuple)
+        # (AO, R) obs slot indices feeding the Beta launch prior — layout-
+        # dependent (1v1: 11/13; team: nearest-enemy block offsets), so
+        # runners thread the env's `shoot_prior_slots` through here
+        self.prior_slots = tuple(prior_slots)
 
     # ---- lifecycle ----
     def init_actor_params(self, key: jax.Array) -> dict:
@@ -75,7 +79,7 @@ class PPOPolicy:
         if not self.use_prior:
             return {}
         from ..heads import shoot_priors
-        alpha0, beta0 = shoot_priors(obs)
+        alpha0, beta0 = shoot_priors(obs, *self.prior_slots)
         return {"alpha0": alpha0, "beta0": beta0}
 
     def _dist_step(self, params: dict, obs, h, masks):

@@ -23,8 +23,16 @@ on top of `SingleCombatEnv`:
   [ammo fraction, incoming-missile alert, nearest incoming missile range
   (10 km units, 0 when clear)];
 - **reward** = the 1v1 posture shaping minus `missile_shoot_cost` per
-  launch; hits subtract `missile_damage` blood so the existing Shutdown
-  termination (win/lose +-200 events) scores the kill;
+  launch, plus the EventDrivenReward-scale +-200 on the Shutdown win/lose
+  split (`event_driven_reward.py:28` scale keyed on the kill itself), plus
+  an optional `blood_shaping * (damage dealt - damage taken)` dense term;
+- **evadable variant** (`selfplay_shoot_evadable`): `missile_fuse_outer`
+  > 0 switches the warhead to a graded proximity fuse (kill weight ramps
+  from 1 inside `missile_hit_radius` to 0 at `fuse_outer`, evaluated at
+  the closest point of approach — see `ops/missile.py:step_missiles`), and
+  `missile_threat_obs` appends the incoming missile's bearing/closure so a
+  directed break turn is representable. Together with a ~5 g missile this
+  opens the defensive skill axis the 12 g Pk~1 game cannot train;
 - everything stays one fused jitted step - the missile arrays are
   [n, K]-batched state fields, no host control flow.
 """
@@ -42,7 +50,8 @@ from ..algorithms.utils.spaces import ShootTuple
 from ..ops.missile import (MissileState, clear_missiles, init_missiles,
                            launch_missiles, step_missiles)
 from ..utils.config import EnvConfig
-from ..utils.math import distance_fn, orientation_fn
+from ..utils.math import distance_fn, orientation_fn, wrap_PI
+from . import terminations as X
 from .combat import FT, CombatState, MultipleCombatEnv, SingleCombatEnv
 from .types import StepOutput
 
@@ -75,7 +84,12 @@ class SingleCombatShootEnv(SingleCombatEnv):
         self.action_space = ShootTuple(
             (cfg.throttle_bins,) + (cfg.attitude_bins,) * 3)
         self.num_actions = self.action_space.dim          # 4 controls + shoot
-        self.num_observation = 18                         # 15 + 3 missile dims
+        # 15 base + [ammo, alert, range] (+ [sin brg, cos brg, closure]
+        # when missile_threat_obs - needed for directed evasion)
+        self.num_observation = 21 if cfg.missile_threat_obs else 18
+        # AO / R slots feeding the Beta launch prior (1v1 layout keeps the
+        # reference's 11/13, `ppo_actor.py:41-49`)
+        self.shoot_prior_slots = (11, 13)
         self._nvec = jnp.asarray(self.action_space.nvec, jnp.float32)
 
     # ---- lifecycle ----
@@ -109,19 +123,40 @@ class SingleCombatShootEnv(SingleCombatEnv):
         cfg = self.config
         opp = self._opponent_index()
         mis = state.missiles
+        my_pos = state.model.s[:, :3]
         inc_pos = mis.pos[opp]                         # [n, K, 3]
         inc_act = mis.active[opp]                      # [n, K]
-        rng = jnp.linalg.norm(
-            inc_pos - state.model.s[:, None, :3], axis=-1)
+        rng = jnp.linalg.norm(inc_pos - my_pos[:, None, :], axis=-1)
         keyed = jnp.where(inc_act, rng, jnp.inf)
         nearest = jnp.min(keyed, axis=1)               # [n]
         alert = jnp.isfinite(nearest)
-        extra = jnp.stack([
+        alert_f = alert.astype(jnp.float32)
+        cols = [
             state.ammo.astype(jnp.float32) / cfg.max_missiles,
-            alert.astype(jnp.float32),
+            alert_f,
             jnp.where(alert, nearest, 0.0) * FT / 10000.0,
-        ], axis=1)
-        return jnp.concatenate([base, extra], axis=1)
+        ]
+        if cfg.missile_threat_obs:
+            # nearest incoming missile's bearing relative to my heading
+            # (which side to break toward) + closing speed (when to break):
+            # without these, evasion is unlearnable even with an evadable
+            # missile - the [ammo, alert, range] block carries no direction
+            slot = jnp.argmin(keyed, axis=1)           # [n]
+            rows = jnp.arange(self.n)
+            mpos = inc_pos[rows, slot]                 # [n, 3]
+            mvel = mis.vel[opp][rows, slot]
+            dpos = mpos - my_pos
+            brg = jnp.arctan2(dpos[:, 1], dpos[:, 0])  # atan2(east, north)
+            rel_brg = wrap_PI(brg - state.model.s[:, 5])
+            # closing speed along the line of sight (ft/s, >0 = inbound)
+            horiz = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
+            closure = -jnp.sum((mvel - xdot[:, :3]) * dpos, axis=-1) / horiz
+            cols += [
+                jnp.sin(rel_brg) * alert_f,
+                jnp.cos(rel_brg) * alert_f,
+                closure * FT / 340.0 * alert_f,
+            ]
+        return jnp.concatenate([base, jnp.stack(cols, axis=1)], axis=1)
 
     # ---- step ----
     @functools.partial(jax.jit, static_argnums=0)
@@ -141,12 +176,14 @@ class SingleCombatShootEnv(SingleCombatEnv):
         dt_e = self.inner_steps * cfg.dt
 
         # missile flight + continuous hit test (each missile homes on its
-        # shooter's opponent)
-        missiles, hits = step_missiles(
+        # shooter's opponent); pk grades the kill weight when the proximity
+        # fuse is on (fuse_outer > 0), else it equals the binary hit
+        missiles, hits, pk = step_missiles(
             state.missiles, mstate.s[opp, :3], xdot[opp, :3],
             dt=dt_e, speed=cfg.missile_speed, nav_gain=cfg.missile_nav_gain,
             g_max=cfg.missile_g_max, duration=cfg.missile_duration,
-            hit_radius=cfg.missile_hit_radius)
+            hit_radius=cfg.missile_hit_radius,
+            fuse_outer=cfg.missile_fuse_outer)
 
         # launches (WEZ + ammo + cooldown gating); the new missile first
         # flies on the NEXT step - this one it only appears on the rail
@@ -163,11 +200,10 @@ class SingleCombatShootEnv(SingleCombatEnv):
                              jnp.maximum(state.cooldown - dt_e, 0.0))
 
         # blood: gun-style posture damage (singlecombat_env.py:263-271)
-        # plus missile_damage per hit taken
+        # plus missile_damage (pk-weighted) per hit taken
         dmg = orientation_fn(AO) * distance_fn(R * FT / 1000.0)
-        hits_on_me = hits[opp].sum(axis=1).astype(jnp.float32)   # [n]
-        blood = (state.blood - dmg[opp]
-                 - cfg.missile_damage * hits_on_me)
+        mis_dealt = cfg.missile_damage * pk.sum(axis=1)          # [n]
+        blood = state.blood - dmg[opp] - mis_dealt[opp]
 
         new_state = state.replace(
             model=mstate, controller=cst, blood=blood,
@@ -175,8 +211,17 @@ class SingleCombatShootEnv(SingleCombatEnv):
             missiles=missiles)
         obs = self._obs(new_state, xdot)
         done, bad, exceed, info = self._termination(new_state, xdot)
+        # reward = posture shaping - launch cost + the EventDrivenReward
+        # +-200 on the Shutdown win/lose split (the kill itself scores;
+        # previously only documented) + optional dense damage shaping
+        lose, win, _ = X.shutdown(cfg, blood, blood[opp])
         reward = (self._reward(new_state, xdot)
-                  - cfg.missile_shoot_cost * fire.astype(jnp.float32))
+                  - cfg.missile_shoot_cost * fire.astype(jnp.float32)
+                  + 200.0 * win.astype(jnp.float32)
+                  - 200.0 * lose.astype(jnp.float32))
+        if cfg.blood_shaping:
+            dealt = dmg + mis_dealt
+            reward = reward + cfg.blood_shaping * (dealt - dealt[opp])
         info["shoot/launches"] = fire.sum()
         info["shoot/hits"] = hits.sum()
         new_state = new_state.replace(is_done=done, bad_done=bad,
@@ -221,10 +266,19 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
                  config: "str | EnvConfig" = "multiple_selfplay_shoot"):
         super().__init__(num_envs, config)
         cfg = self.config
+        assert not cfg.missile_threat_obs, (
+            "missile_threat_obs is 1v1-only for now (the team threat block "
+            "would need per-agent nearest-incoming gathers)")
         self.action_space = ShootTuple(
             (cfg.throttle_bins,) + (cfg.attitude_bins,) * 3)
         self.num_actions = self.action_space.dim
         self.num_observation += 3
+        # the Beta launch prior must key on the LOCK TARGET (nearest alive
+        # enemy = first enemy block of the team layout), not the 1v1 slots
+        # 11/13 (those are teammate geometry here): enemy block starts at
+        # 9 + 7*(half-1); AO at +2, R (10 km units) at +4
+        enemy0 = 9 + 7 * (self.half - 1)
+        self.shoot_prior_slots = (enemy0 + 2, enemy0 + 4)
         self._nvec = jnp.asarray(self.action_space.nvec, jnp.float32)
 
     # ---- lifecycle ----
@@ -266,11 +320,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
         tgt_flat = (base[:, None] + state.missile_target).reshape(-1)
         tgt_pos = mstate.s[tgt_flat, :3].reshape(n, K, 3)
         tgt_vel = xdot[tgt_flat, :3].reshape(n, K, 3)
-        missiles, hits = step_missiles(
+        missiles, hits, pk = step_missiles(
             state.missiles, tgt_pos, tgt_vel,
             dt=dt_e, speed=cfg.missile_speed, nav_gain=cfg.missile_nav_gain,
             g_max=cfg.missile_g_max, duration=cfg.missile_duration,
-            hit_radius=cfg.missile_hit_radius)
+            hit_radius=cfg.missile_hit_radius,
+            fuse_outer=cfg.missile_fuse_outer)
 
         # launch at the nearest alive enemy; dead agents cannot fire, and
         # the WEZ gate (|AO| / range to the candidate lock) applies
@@ -300,18 +355,18 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
                              jnp.maximum(state.cooldown - dt_e, 0.0))
 
         # damage: one-hot over the locked victims (pre-launch targets —
-        # a missile cannot hit on its launch step); corpses take nothing
+        # a missile cannot hit on its launch step); corpses take nothing;
+        # pk grades the warhead when the proximity fuse is on
         victim_alive = alive[(base[:, None]
                               + state.missile_target).reshape(-1)]
         eff = hits & victim_alive.reshape(n, K)               # [n, K]
+        pk_eff = pk * victim_alive.reshape(n, K)              # [n, K]
         onehot = (state.missile_target[..., None]
                   == jnp.arange(m)[None, None, :])            # [n, K, m]
-        per_victim = (eff[..., None] & onehot).sum(1)         # [n, m]
+        per_victim = (pk_eff[..., None] * onehot).sum(1)      # [n, m]
         w_incoming = (cfg.missile_damage
-                      * per_victim.reshape(E, m, m).sum(1)
-                      .astype(jnp.float32))                   # [E, m]
-        w_dealt = (cfg.missile_damage
-                   * eff.sum(1).reshape(E, m).astype(jnp.float32))
+                      * per_victim.reshape(E, m, m).sum(1))   # [E, m]
+        w_dealt = cfg.missile_damage * pk_eff.sum(1).reshape(E, m)
 
         # team-shared launch cost (reward stays identical across the team)
         fires_g = can.reshape(E, m).astype(jnp.float32)

@@ -76,15 +76,29 @@ def segment_min_dist(rel_pos: jnp.ndarray, rel_vel: jnp.ndarray,
 def step_missiles(m: MissileState, target_pos: jnp.ndarray,
                   target_vel: jnp.ndarray, *, dt: float, speed: float,
                   nav_gain: float, g_max: float, duration: float,
-                  hit_radius: float) -> Tuple[MissileState, jnp.ndarray]:
+                  hit_radius: float, fuse_outer: float = 0.0
+                  ) -> Tuple[MissileState, jnp.ndarray, jnp.ndarray]:
     """Advance every missile one env step toward its target.
 
     target_pos/target_vel are [n, 3] (one target per shooter — 1v1
     pairing resolves it before the call) or [n, K, 3] (per-slot targets,
     locked at launch — the team game gathers them from the stored victim
-    index). Returns the new state and hits [n, K] (True where an active
-    missile passed within `hit_radius` of its target during this step;
-    hit missiles deactivate).
+    index). Returns (new state, hits [n, K] bool, pk [n, K] float32).
+
+    Fuse modes:
+    - **binary** (fuse_outer == 0, default): a hit fires when an active
+      missile passes within `hit_radius` of its target during the step
+      (closest point of approach over the segment); pk is 1.0 on hit.
+    - **graded proximity fuse** (fuse_outer > hit_radius): the warhead
+      detonates at closest approach — when the CPA falls inside this step
+      (the unclamped minimizer t* < dt, i.e. the missile stops closing)
+      within `fuse_outer` ft, or any time the target is inside the
+      always-lethal `hit_radius`. The kill weight ramps linearly:
+      pk = 1 at miss <= hit_radius down to 0 at miss >= fuse_outer.
+      This replaces the binary radius's knife-edge (a 5 g missile's
+      breaking CPA measures ~209 ft vs a 200 ft radius) with a learnable
+      gradient: every extra foot of miss distance earned by a break turn
+      reduces the damage taken. Detonated missiles deactivate either way.
     """
     if target_pos.ndim == 2:
         target_pos = target_pos[:, None, :]            # broadcast over K
@@ -94,7 +108,19 @@ def step_missiles(m: MissileState, target_pos: jnp.ndarray,
 
     # continuous collision over the step (pre-update kinematics)
     miss = segment_min_dist(rel_pos, rel_vel, dt)
-    hits = m.active & (miss < hit_radius)
+    if fuse_outer > 0.0:
+        assert fuse_outer > hit_radius, "graded fuse needs outer > inner"
+        rv = jnp.sum(rel_pos * rel_vel, axis=-1)
+        vv = jnp.sum(rel_vel * rel_vel, axis=-1)
+        t_star = -rv / (vv + _EPS)                     # unclamped CPA time
+        cpa_in_step = t_star < dt                      # passes CPA this step
+        hits = m.active & (miss < fuse_outer) & (cpa_in_step
+                                                 | (miss < hit_radius))
+        pk = jnp.clip((fuse_outer - miss) / (fuse_outer - hit_radius),
+                      0.0, 1.0) * hits.astype(jnp.float32)
+    else:
+        hits = m.active & (miss < hit_radius)
+        pk = hits.astype(jnp.float32)
 
     # pure PN: Omega = (r x dv) / |r|^2 ; a = N' * Omega x v_m
     r2 = jnp.sum(rel_pos * rel_pos, axis=-1, keepdims=True)
@@ -102,7 +128,9 @@ def step_missiles(m: MissileState, target_pos: jnp.ndarray,
     acc = nav_gain * jnp.cross(omega, m.vel)
     a_norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
     a_max = g_max * G0_FTPS2
-    acc = acc * (a_max / jnp.maximum(a_norm, a_max))   # clamp |a| <= a_max
+    # clamp |a| <= a_max (the _EPS floor keeps 0/0 out of the degenerate
+    # a_norm == a_max == 0 corner, e.g. an unguided g_max=0 round)
+    acc = acc * (a_max / jnp.maximum(a_norm, jnp.maximum(a_max, _EPS)))
 
     vel_new = m.vel + acc * dt
     vel_new = vel_new * (speed / (jnp.linalg.norm(vel_new, axis=-1,
@@ -116,7 +144,7 @@ def step_missiles(m: MissileState, target_pos: jnp.ndarray,
         pos=jnp.where(keep, pos_new, m.pos),
         vel=jnp.where(keep, vel_new, m.vel),
         active=still,
-        age=jnp.where(m.active, age_new, m.age)), hits
+        age=jnp.where(m.active, age_new, m.age)), hits, pk
 
 
 def launch_missiles(m: MissileState, slot: jnp.ndarray, fire: jnp.ndarray,

@@ -56,7 +56,9 @@ class Runner:
         # envs with a non-Box action space (e.g. the shoot-combat env's
         # ShootTuple) expose `action_space`; Box envs just expose num_actions
         policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
-                           act_space=getattr(env, "action_space", None))
+                           act_space=getattr(env, "action_space", None),
+                           prior_slots=getattr(env, "shoot_prior_slots",
+                                               (11, 13)))
         return policy, PPOTrainer(cfg, policy)
 
     # ---- training hooks (subclasses implement collect/run) ----

@@ -26,7 +26,9 @@ class MAPPOSelfplayRunner(SelfplayRunner):
         half = env.num_agents // 2
         policy = MAPPOPolicy(cfg, env.num_observation,
                              env.num_observation * half, env.num_actions,
-                             act_space=getattr(env, "action_space", None))
+                             act_space=getattr(env, "action_space", None),
+                             prior_slots=getattr(env, "shoot_prior_slots",
+                                                 (11, 13)))
         return policy, MAPPOTrainer(cfg, policy)
 
     def init_carry(self, key: jax.Array) -> SelfplayCarry:

@@ -93,10 +93,14 @@ class EnvConfig:
     # shoot-combat (missile) scenarios — envs/combat_shoot.py supplies the
     # environment side of the reference's ShootTuple action head
     max_missiles: int = 4
-    missile_speed: float = 2600.0      # ft/s cruise (constant-speed PN)
-    missile_g_max: float = 30.0        # g lateral-accel clamp
-    missile_duration: float = 30.0     # s flight time before expiry
-    missile_hit_radius: float = 300.0  # ft kill radius (segment hit test)
+    # defaults are the VALIDATED soft-missile balance (the round-3 1v1 run
+    # showed the original 2600 ft/s / 30 g / 30 s / 300 ft set produces a
+    # degenerate first-strike lottery); YAML scenarios carry the same
+    # values, so programmatic EnvConfig() construction agrees with them
+    missile_speed: float = 2000.0      # ft/s cruise (constant-speed PN)
+    missile_g_max: float = 12.0        # g lateral-accel clamp
+    missile_duration: float = 20.0     # s flight time before expiry
+    missile_hit_radius: float = 200.0  # ft kill radius (segment hit test)
     missile_damage: float = 100.0      # blood per hit
     missile_cooldown: float = 4.0      # s between launches
     missile_nav_gain: float = 3.0      # PN navigation constant N'
@@ -111,6 +115,15 @@ class EnvConfig:
     # owns within-WEZ trigger discipline.
     wez_max_ao_deg: float = 60.0
     wez_max_range: float = 20000.0     # ft
+    # evadable-missile game (selfplay_shoot_evadable): a graded proximity
+    # fuse (kill weight ramps 1 -> 0 from hit_radius out to fuse_outer at
+    # the closest point of approach; 0 keeps the binary radius), incoming-
+    # missile bearing/closure obs so a directed break is representable,
+    # and a dense damage-shaping reward term. See ops/missile.py and
+    # docs/ARCHITECTURE.md for the design rationale.
+    missile_fuse_outer: float = 0.0    # ft (0 = binary hit test)
+    missile_threat_obs: bool = False   # append [sin brg, cos brg, closure]
+    blood_shaping: float = 0.0         # reward coeff on (dealt - taken)
     attitude_bins: int = 41            # discrete roll/pitch/yaw demand bins
     throttle_bins: int = 30            # discrete throttle bins
 

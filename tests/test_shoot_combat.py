@@ -47,7 +47,7 @@ def test_pn_missile_hits_crossing_target():
     ranges = []
     for i in range(120):
         t_pos = t_pos + t_vel * MISSILE_KW["dt"]
-        m, hits = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
+        m, hits, _ = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
         ranges.append(float(jnp.linalg.norm(t_pos[0] - m.pos[0, 0])))
         if bool(hits[0, 0]):
             hit_step = i
@@ -66,14 +66,14 @@ def test_missile_expires_and_g_limit_defeats_impossible_turn():
                         jnp.asarray([[2600.0, 0.0, 0.0]]), speed=2600.0)
     t_pos = jnp.asarray([[-500.0, 0.0, 0.0]])   # 500 ft behind, outside kill radius
     t_vel = jnp.zeros((1, 3))
-    m2, hits = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
+    m2, hits, _ = step_missiles(m, t_pos, t_vel, **MISSILE_KW)
     assert not bool(hits[0, 0])
     # velocity rotation in one step is bounded by a_max*dt / v
     dv = jnp.linalg.norm(m2.vel[0, 0] - m.vel[0, 0])
     assert float(dv) <= 30.0 * 32.175 * 0.1 + 1e-3
     # expiry
     for _ in range(301):
-        m, _ = step_missiles(m, jnp.asarray([[1e7, 1e7, 0.0]]),
+        m, _, _ = step_missiles(m, jnp.asarray([[1e7, 1e7, 0.0]]),
                              jnp.zeros((1, 3)), **MISSILE_KW)
     assert not bool(m.active[0, 0])
 
@@ -382,7 +382,7 @@ def test_pn_g_limit_sets_evadability():
                 tvel = np.array([tvel[0] * c - tvel[1] * s,
                                  tvel[0] * s + tvel[1] * c, 0.0])
             tpos = tpos + tvel * dt
-            m, hits = step_missiles(
+            m, hits, _ = step_missiles(
                 m, jnp.asarray(tpos)[None], jnp.asarray(tvel)[None],
                 dt=dt, speed=2000.0, nav_gain=3.0, g_max=g_max,
                 duration=20.0, hit_radius=200.0)
@@ -396,3 +396,166 @@ def test_pn_g_limit_sets_evadability():
     assert chase(12.0, breaking=True)     # shipped missile: unavoidable
     assert chase(5.0, breaking=False)     # still lethal vs the oblivious
     assert not chase(5.0, breaking=True)  # a reacting target survives
+
+
+# ---------- graded proximity fuse / evadable game ----------
+
+def test_graded_fuse_pk_ramp_and_cpa_timing():
+    """Straight-line flyby (nav_gain 0 isolates the fuse): detonation fires
+    at the closest point of approach with pk ramping 1 -> 0 across the
+    [hit_radius, fuse_outer] envelope, and NOT earlier while the missile is
+    still closing through the outer shell."""
+    kw = dict(dt=0.1, speed=2000.0, nav_gain=0.0, g_max=0.0,
+              duration=30.0, hit_radius=100.0, fuse_outer=400.0)
+
+    def flyby(off):
+        m = init_missiles(1, 1)
+        m = launch_missiles(m, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+                            jnp.zeros((1, 3)),
+                            jnp.asarray([[2000.0, 0.0, 0.0]]), speed=2000.0)
+        t_pos = jnp.asarray([[1000.0, float(off), 0.0]])
+        t_vel = jnp.zeros((1, 3))
+        events = []
+        for i in range(12):
+            m, hits, pk = step_missiles(m, t_pos, t_vel, **kw)
+            if bool(hits[0, 0]):
+                events.append((i, float(pk[0, 0])))
+        return events, m
+
+    # inside the always-lethal radius: pk = 1
+    ev, m = flyby(50.0)
+    assert len(ev) == 1 and ev[0][1] == pytest.approx(1.0)
+    assert not bool(m.active[0, 0])
+    # mid-envelope CPA: one detonation, exactly at the linear-ramp pk
+    ev, m = flyby(250.0)
+    assert len(ev) == 1
+    assert ev[0][1] == pytest.approx((400.0 - 250.0) / 300.0, abs=1e-4)
+    assert not bool(m.active[0, 0])
+    # beyond the envelope: never detonates, keeps flying
+    ev, m = flyby(600.0)
+    assert not ev and bool(m.active[0, 0])
+
+
+def test_graded_fuse_break_turn_earns_pk_reduction():
+    """The design target of the evadable game: with the g_max=5 missile an
+    immediate hard break off a max-WEZ launch beats the fuse entirely,
+    while an oblivious target takes pk ~ 1 (chase kinematics, calibrated
+    for selfplay_shoot_evadable.yaml)."""
+    kw = dict(dt=0.1, speed=2000.0, nav_gain=3.0, g_max=5.0,
+              duration=20.0, hit_radius=100.0, fuse_outer=400.0)
+
+    def chase(break_g):
+        m = init_missiles(1, 1)
+        m = launch_missiles(m, jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+                            jnp.zeros((1, 3)),
+                            jnp.asarray([[1000.0, 0.0, 0.0]]), speed=2000.0)
+        tpos = np.array([12000.0, 0.0, 0.0])
+        tvel = np.array([-1000.0, 0.0, 0.0])     # head-on, then break
+        dt = 0.1
+        pk_tot = 0.0
+        for _ in range(int(20.0 / dt)):
+            if break_g > 0:
+                w = break_g * 32.17 / np.linalg.norm(tvel)
+                c, s = np.cos(w * dt), np.sin(w * dt)
+                tvel = np.array([tvel[0] * c - tvel[1] * s,
+                                 tvel[0] * s + tvel[1] * c, 0.0])
+            tpos = tpos + tvel * dt
+            m, hits, pk = step_missiles(
+                m, jnp.asarray(tpos)[None], jnp.asarray(tvel)[None], **kw)
+            pk_tot += float(pk[0, 0])
+            if not bool(m.active[0, 0]):
+                break
+        return pk_tot
+
+    assert chase(0.0) > 0.95          # oblivious: full kill
+    assert chase(5.0) < 0.1           # immediate 5 g break: defeated
+
+
+def test_evadable_env_threat_obs_bearing_and_closure():
+    env_e = SingleCombatShootEnv(num_envs=2,
+                                 config="selfplay_shoot_evadable")
+    assert env_e.num_observation == 21
+    state, obs = env_e.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (env_e.n, 21)
+    # no missiles in the air: threat block zeroed
+    np.testing.assert_allclose(np.asarray(obs[:, 18:21]), 0.0)
+
+    state = _nose_on(env_e, state)
+    fire_all = jnp.concatenate(
+        [jnp.full((env_e.n, 4), 20.0), jnp.ones((env_e.n, 1))], axis=1)
+    state, out = env_e.step(state, fire_all)
+    assert int(out.info["shoot/launches"]) == env_e.n
+    # nose-on duel: each agent's incoming missile approaches from dead
+    # ahead -> relative bearing ~ 0 (sin ~ 0, cos ~ 1), closing fast
+    obs = np.asarray(out.obs)
+    assert (obs[:, 16] == 1.0).all()              # alert up
+    np.testing.assert_allclose(obs[:, 18], 0.0, atol=0.1)   # sin(brg)
+    assert (obs[:, 19] > 0.9).all()                          # cos(brg)
+    # closure ~ (missile speed + own speed) in mach, clearly positive
+    assert (obs[:, 20] > 1.0).all()
+
+
+def test_shoot_kill_event_rewards():
+    """Shutdown win/lose rides the reward at the EventDrivenReward +-200
+    scale (previously only documented): drive a pairing to a kill and check
+    the winner/loser reward split."""
+    e = SingleCombatShootEnv(num_envs=1)
+    state, _ = e.reset(jax.random.PRNGKey(5))
+    state = _nose_on(e, state, rng_ft=2500.0)   # inside gun-damage range
+    # hand the fight its outcome: victim (odd row) enters the step with
+    # blood that the posture damage will finish off
+    state = state.replace(blood=jnp.asarray([100.0, 1e-4]))
+    no_fire = jnp.full((e.n, 4), 20.0)
+    no_fire = jnp.concatenate([no_fire, jnp.zeros((e.n, 1))], axis=1)
+    state, out = e.step(state, no_fire)
+    r = np.asarray(out.reward)
+    assert r[0] > 150.0, f"winner reward {r[0]}"
+    assert r[1] < -150.0, f"loser reward {r[1]}"
+    assert bool(out.done[0]) and bool(out.bad_done[1])
+
+
+def test_blood_shaping_rewards_damage_diff():
+    """With blood_shaping on, a pk-weighted missile hit moves the shooter's
+    reward up and the victim's down by 0.1 * damage."""
+    from neuralplane_tpu.utils.config import load_config
+    cfg = load_config("selfplay_shoot_evadable")
+    e = SingleCombatShootEnv(num_envs=1, config=cfg)
+    state, _ = e.reset(jax.random.PRNGKey(6))
+    state = _nose_on(e, state, rng_ft=6000.0)
+    fire = jnp.concatenate(
+        [jnp.full((e.n, 4), 20.0), jnp.ones((e.n, 1))], axis=1)
+    # ego fires, opponent holds: asymmetric damage stream
+    act = fire.at[1, 4].set(0.0)
+    got_hit = False
+    for _ in range(120):
+        state, out = e.step(state, act)
+        if int(out.info["shoot/hits"]) > 0:
+            got_hit = True
+            r = np.asarray(out.reward)
+            assert r[0] > r[1] + 1.0, f"no shaping split: {r}"
+            break
+        if bool(np.asarray(out.done | out.bad_done).any()):
+            break
+    assert got_hit, "ego's missile never connected"
+
+
+def test_team_prior_slots_point_at_lock_target():
+    """The Beta launch prior must key on the nearest-ENEMY AO/R in the team
+    layout (enemy block at 9 + 7*(h-1)), not the 1v1 slots 11/13 (teammate
+    geometry there)."""
+    from neuralplane_tpu.envs import MultipleCombatShootEnv
+    tenv = MultipleCombatShootEnv(num_envs=1)
+    h = tenv.half
+    enemy0 = 9 + 7 * (h - 1)
+    assert tenv.shoot_prior_slots == (enemy0 + 2, enemy0 + 4)
+    e1 = SingleCombatShootEnv(num_envs=1)
+    assert e1.shoot_prior_slots == (11, 13)
+
+    # slots select the intended columns end-to-end through shoot_priors
+    from neuralplane_tpu.algorithms.heads import shoot_priors
+    obs = jnp.zeros((3, tenv.num_observation))
+    obs = obs.at[:, enemy0 + 2].set(jnp.deg2rad(10.0))   # AO: in-WEZ
+    obs = obs.at[:, enemy0 + 4].set(0.5)                 # R = 5 km
+    a0, b0 = shoot_priors(obs, *tenv.shoot_prior_slots)
+    np.testing.assert_allclose(np.asarray(a0[:, 0]), 10.0)  # close -> eager
+    np.testing.assert_allclose(np.asarray(b0[:, 0]), 3.0)   # on-nose
