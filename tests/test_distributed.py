@@ -101,12 +101,9 @@ def test_multiproc_matches_single_process(multiproc_summaries):
                                    atol=1e-6, err_msg=k)
 
 
-def test_two_process_team_combat():
-    """The team-combat MAPPO stack runs over the 2-process global mesh too:
-    combat groups shard whole along the env axis, so the team game needs no
-    cross-process traffic; both processes report identical results."""
+def _run_two_process(env_name: str, prefix: str):
     import tempfile
-    out_dir = tempfile.mkdtemp(prefix="mpteam")
+    out_dir = tempfile.mkdtemp(prefix=prefix)
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = ""
@@ -116,7 +113,7 @@ def test_two_process_team_combat():
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--num-processes", "2",
-             "--process-id", str(pid), "--env-name", "MultipleCombat",
+             "--process-id", str(pid), "--env-name", env_name,
              "--coordinator", f"localhost:{port}", "--out", out],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
@@ -126,7 +123,20 @@ def test_two_process_team_combat():
         assert proc.returncode == 0, stdout.decode()[-2000:]
         with open(out) as f:
             summaries.append(json.load(f))
-    s0, s1 = summaries
+    return summaries
+
+
+@pytest.mark.parametrize("env_name,prefix", [
+    ("MultipleCombat", "mpteam"),
+    # the weapon layer ([n, K] missile slots + locked-victim indices) rides
+    # the same env-axis sharding: no cross-process traffic either
+    ("MultipleCombatShoot", "mpshoot"),
+])
+def test_two_process_team_combat(env_name, prefix):
+    """The team-combat MAPPO stack runs over the 2-process global mesh too:
+    combat groups shard whole along the env axis, so the team game needs no
+    cross-process traffic; both processes report identical results."""
+    s0, s1 = _run_two_process(env_name, prefix)
     assert s0["global_devices"] == 8
     assert s0["reward_sum"] == s1["reward_sum"]
     assert s0["metrics"] == s1["metrics"]

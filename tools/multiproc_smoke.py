@@ -46,10 +46,13 @@ def main() -> None:
     p.add_argument("--num-envs", type=int, default=16)
     p.add_argument("--buffer-size", type=int, default=8)
     p.add_argument("--env-name", default="Control",
-                   choices=["Control", "MultipleCombat"],
+                   choices=["Control", "MultipleCombat",
+                            "MultipleCombatShoot"],
                    help="MultipleCombat runs the team-MAPPO stack: combat "
                    "groups shard whole (env-axis), so the team game needs "
-                   "no cross-process traffic either")
+                   "no cross-process traffic either; MultipleCombatShoot "
+                   "adds the weapon layer ([n, K] missile slots + locked-"
+                   "victim indices) to the same sharding contract")
     args = p.parse_args()
 
     from neuralplane_tpu.parallel import init_distributed, make_global_mesh
@@ -70,10 +73,14 @@ def main() -> None:
                    n_choose_opponents=1)
     run_dir = os.path.join(os.path.dirname(args.out),
                            f"run_p{args.process_id}")
-    if args.env_name == "MultipleCombat":
-        from neuralplane_tpu.envs import MultipleCombatEnv
+    if args.env_name in ("MultipleCombat", "MultipleCombatShoot"):
+        from neuralplane_tpu.envs import (MultipleCombatEnv,
+                                          MultipleCombatShootEnv)
         from neuralplane_tpu.runner import MAPPOSelfplayRunner
-        env = MultipleCombatEnv(num_envs=args.num_envs)
+        env_cls = (MultipleCombatShootEnv
+                   if args.env_name == "MultipleCombatShoot"
+                   else MultipleCombatEnv)
+        env = env_cls(num_envs=args.num_envs)
         runner = MAPPOSelfplayRunner(env, cfg, run_dir=run_dir, mesh=mesh)
         carry = shard_env_state(runner.init_carry(jax.random.PRNGKey(0)),
                                 mesh)
