@@ -312,3 +312,172 @@ def test_ladder_probe_shoot_env():
         stochastic="both")
     for v in (e, o, ends, ew, ow):
         assert np.isfinite(v)
+
+
+# ---------- 3v3: the nvn machinery beyond the 2v2 instantiation ----------
+
+@pytest.fixture(scope="module")
+def env3():
+    return MultipleCombatEnv(num_envs=2, config="multiple_selfplay_3v3")
+
+
+def test_3v3_obs_layout_hand_computed(env3):
+    """h=3 obs blocks against hand-computed geometry: ego 9, teammates
+    7+7 (fixed within-team order), enemies 7+7+7 nearest-alive-first —
+    the generic 9+7*(h-1)+7*h layout beyond the 2v2 case it was built
+    on (reference's nvn claim, `envs/multiplecombat_env.py:24-271`,
+    realized at a second team size)."""
+    h = env3.half
+    assert h == 3 and env3.num_agents == 6
+    assert env3.num_observation == 9 + 7 * (h - 1) + 7 * h == 44
+    # group 0: a0-a2 ego team (north), a3-a5 enemies (south).
+    # Distances from a0: a3 = 5000, a4 ~ 12041, a5 ~ 20100 -> order 3,4,5.
+    pos = [(0.0, 0.0, 10000.0), (0.0, 2000.0, 10500.0),
+           (0.0, -3000.0, 9800.0),
+           (5000.0, 0.0, 10000.0), (12000.0, 0.0, 11000.0),
+           (20000.0, 0.0, 12000.0)]
+    vts = [1000.0, 1100.0, 1200.0, 1050.0, 950.0, 900.0]
+    psis = [0.0, 0.0, 0.0, np.pi, np.pi, np.pi]
+    state = _crafted_state(env3, pos, vts, psis)
+    xdot = env3.model.extended_state(state.model)
+    obs = np.asarray(env3._obs(state, xdot)).reshape(env3.num_envs,
+                                                     env3.num_agents, -1)
+    o0 = obs[0, 0]
+    # ego block
+    np.testing.assert_allclose(o0[0], 10000.0 * FT / 5000.0, rtol=1e-5)
+    np.testing.assert_allclose(o0[5], 1000.0 * FT / 340.0, rtol=1e-4)
+
+    vel = np.asarray(xdot[:, :3])
+
+    def block(j, dvx_vt, dalt_ft):
+        ao, ta, r, sd = get2d_AO_TA_R(jnp.asarray(pos[0])[None],
+                                      jnp.asarray(pos[j])[None],
+                                      jnp.asarray(vel[0])[None],
+                                      jnp.asarray(vel[j])[None],
+                                      return_side=True)
+        return [dvx_vt * FT / 340.0, dalt_ft * FT / 1000.0,
+                float(ao[0]), float(ta[0]), float(r[0]) * FT / 10000.0,
+                float(sd[0]), 1.0]
+
+    # teammate blocks in fixed within-team order: a1 then a2
+    np.testing.assert_allclose(o0[9:16], block(1, 100.0, 500.0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(o0[16:23], block(2, 200.0, -200.0),
+                               rtol=1e-4, atol=1e-5)
+    # enemy blocks nearest-first: a3, a4, a5
+    np.testing.assert_allclose(o0[23:30], block(3, 50.0, 0.0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(o0[30:37], block(4, -50.0, 1000.0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(o0[37:44], block(5, -100.0, 2000.0),
+                               rtol=1e-4, atol=1e-5)
+    # a0 nose-on at a3 flying straight at it: AO=0, TA=pi
+    np.testing.assert_allclose(o0[25], 0.0, atol=1e-3)
+    np.testing.assert_allclose(o0[26], np.pi, atol=1e-3)
+
+
+def test_3v3_team_reward_shared_and_wipe_events(env3):
+    """All three teammates share one reward; wiping a 3-agent team raises
+    the +-200 split for all six."""
+    pos = [(0.0, 0.0, 10000.0), (0.0, 8000.0, 10000.0),
+           (0.0, -8000.0, 10000.0),
+           (500.0, 0.0, 10000.0), (20000.0, 8000.0, 10000.0),
+           (20000.0, -8000.0, 10000.0)]
+    state = _crafted_state(env3, pos, [1000.0] * 6, [0.0] * 6)
+    state, out = env3.step(state, jnp.zeros((env3.n, 4)))
+    rew = np.asarray(out.reward)
+    assert rew[0] == rew[1] == rew[2]
+    assert rew[3] == rew[4] == rew[5]
+    # a0 chases a3 nose-on from 500 ft: only a3 bleeds
+    blood = np.asarray(state.blood)
+    assert blood[3] < 99.5
+    np.testing.assert_allclose(blood[[0, 1, 2, 4, 5]], 100.0)
+
+    # wipe the whole ego team -> losers bad_done, winners done, +-200
+    state = state.replace(blood=state.blood.at[:3].set(0.0))
+    state, out = env3.step(state, jnp.zeros((env3.n, 4)))
+    assert np.asarray(out.bad_done)[:3].all()
+    assert np.asarray(out.done)[3:6].all()
+    rew = np.asarray(out.reward)
+    assert (rew[:3] < -190).all() and (rew[3:6] > 190).all()
+    # group 1 untouched
+    assert not bool(np.asarray(out.done | out.bad_done)[6:].any())
+
+
+def test_3v3_partial_death_keeps_game_running(env3):
+    """One dead enemy: its blocks zero out, actives drop, episode continues
+    (no team-wipe), and the nearest-ENEMY sort skips the corpse."""
+    pos = [(0.0, 0.0, 10000.0), (0.0, 8000.0, 10000.0),
+           (0.0, -8000.0, 10000.0),
+           (5000.0, 0.0, 10000.0), (12000.0, 0.0, 10000.0),
+           (20000.0, 0.0, 10000.0)]
+    state = _crafted_state(env3, pos, [1000.0] * 6, [0.0] * 6)
+    # kill a3 - a0's nearest enemy becomes a4
+    state = state.replace(blood=state.blood.at[3].set(0.0))
+    state, out = env3.step(state, jnp.zeros((env3.n, 4)))
+    assert np.asarray(out.active)[:6].tolist() == [1, 1, 1, 0, 1, 1]
+    assert not bool(np.asarray(out.done | out.bad_done)[:6].any())
+    o0 = np.asarray(out.obs).reshape(env3.num_envs, env3.num_agents,
+                                     -1)[0, 0]
+    # first enemy block is now the ALIVE a4 (R ~ 12000 ft shrinking), and
+    # the dead a3's zeroed block sorts to the LAST enemy slot
+    assert 1.0 < o0[27] / (FT / 10.0) < 13000.0 * FT / 10000.0 / (FT / 10.0)
+    np.testing.assert_allclose(o0[37:44], 0.0, atol=1e-6)
+
+
+def test_3v3_mappo_trains(tmp_path):
+    """MAPPO + centralized critic over the 3v3 game: collect+train finite,
+    share_obs = 3 x 44."""
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.runner import MAPPOSelfplayRunner
+
+    cfg = RLConfig(buffer_size=4, data_chunk_length=2, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1)
+    env = MultipleCombatEnv(num_envs=2, config="multiple_selfplay_3v3")
+    runner = MAPPOSelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    carry = runner.init_carry(jax.random.PRNGKey(0))
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    assert batch.share_obs.shape[-1] == 3 * env.num_observation
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_3v3_shoot_env_contract_and_train(tmp_path):
+    """The weapon layer is team-size generic too: 3v3 missiles lock the
+    nearest alive enemy, prior slots key on the first enemy block (obs
+    44+3, enemy block at 9+7*2), and MAPPO trains on it."""
+    from neuralplane_tpu.algorithms.rl_config import RLConfig
+    from neuralplane_tpu.envs import MultipleCombatShootEnv
+    from neuralplane_tpu.runner import MAPPOSelfplayRunner
+
+    env = MultipleCombatShootEnv(num_envs=2,
+                                 config="multiple_selfplay_shoot_3v3")
+    assert env.num_observation == 47
+    assert env.shoot_prior_slots == (25, 27)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (env.n, 47)
+    fire = jnp.concatenate([jnp.full((env.n, 4), 20.0),
+                            jnp.ones((env.n, 1))], axis=1)
+    launches = 0
+    for _ in range(4):
+        state, out = env.step(state, fire)
+        launches += int(out.info["shoot/launches"])
+    assert launches > 0
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+    cfg = RLConfig(buffer_size=4, data_chunk_length=2, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,),
+                   act_hidden_sizes=(8,), recurrent_hidden_size=8,
+                   n_choose_opponents=1, use_prior=True)
+    runner = MAPPOSelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    assert runner.policy._pp.prior_slots == (25, 27)
+    carry = runner.init_carry(jax.random.PRNGKey(1))
+    carry, batch, _ = runner.collect(runner.train_state.params,
+                                     runner.opponent_params, carry)
+    metrics = runner.train(batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
