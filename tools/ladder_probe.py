@@ -26,6 +26,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --cpu must take effect before any jax use (env-var JAX_PLATFORMS is
+# ignored here: the sitecustomize pins the TPU platform). CPU probes are
+# the safe option while a training run owns the TPU (strict serial rule).
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +157,9 @@ def main() -> None:
     p.add_argument("--stochastic", default="none", choices=["none", "both"],
                    help="'both' = sampled actions (training-time behavioral "
                    "matchup); 'none' = the reference deterministic protocol")
+    p.add_argument("--opp-ckpt-dir", default=None,
+                   help="load OPPONENTS from a different run's checkpoint "
+                   "dir (cross-run head-to-heads, e.g. FSP vs PFSP finals)")
     # network shape must match the checkpoints (train CLI defaults)
     p.add_argument("--hidden-size", default="128 128")
     p.add_argument("--act-hidden-size", default="128 128")
@@ -183,7 +194,7 @@ def main() -> None:
 
     rows = []
     for name in args.opponents:
-        opp = load_actor(args.ckpt_dir, name)
+        opp = load_actor(args.opp_ckpt_dir or args.ckpt_dir, name)
         e, o, ends, ew, ow = head_to_head(env, policy, final, opp,
                                           args.steps,
                                           jax.random.PRNGKey(args.seed),
