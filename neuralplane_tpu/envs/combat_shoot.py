@@ -224,6 +224,12 @@ class SingleCombatShootEnv(SingleCombatEnv):
             reward = reward + cfg.blood_shaping * (dealt - dealt[opp])
         info["shoot/launches"] = fire.sum()
         info["shoot/hits"] = hits.sum()
+        # per-agent vectors for offline analysis (tools/pk_probe.py): who
+        # fired, and the pk each agent's missiles delivered this step —
+        # sum(pk_dealt_vec)/sum(fire_vec) per side is the per-shot kill
+        # probability AGAINST that side's opponent (expired misses count 0)
+        info["shoot/fire_vec"] = fire
+        info["shoot/pk_dealt_vec"] = pk.sum(axis=1)
         new_state = new_state.replace(is_done=done, bad_done=bad,
                                       exceed_time_limit=exceed)
         return new_state, StepOutput(obs=obs, reward=reward, done=done,
