@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--sweep", action="store_true",
                     help="also print the 10^0..10^6 sweep to stderr")
+    ap.add_argument("--combat-sweep", action="store_true",
+                    help="also print the combat/shoot env sweep "
+                         "(SingleCombat[Shoot], MultipleCombat[Shoot] at "
+                         "n=10^1..10^6) to stderr")
+    ap.add_argument("--combat-max-exp", type=int, default=6)
     ap.add_argument("--aero", default="auto",
                     choices=["auto", "pallas", "stacked", "distilled"],
                     help="aero backend; 'auto' = distilled on TPU when its"
@@ -37,10 +42,15 @@ def main() -> None:
 
     from neuralplane_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
-    from neuralplane_tpu.measure import measure_env_step, measure_sweep
+    from neuralplane_tpu.measure import (measure_combat_sweep,
+                                         measure_env_step, measure_sweep)
 
     if args.sweep:
         for row in measure_sweep(steps=min(args.steps, 500)):
+            print(json.dumps(row), file=sys.stderr)
+    if args.combat_sweep:
+        for row in measure_combat_sweep(max_exp=args.combat_max_exp,
+                                        steps=min(args.steps, 200)):
             print(json.dumps(row), file=sys.stderr)
 
     res = measure_env_step(args.n, steps=args.steps,

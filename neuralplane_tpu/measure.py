@@ -68,3 +68,67 @@ def measure_env_step(n: int, steps: int = 500, scenario: str = "heading",
 
 def measure_sweep(max_exp: int = 6, steps: int = 500) -> List[Dict]:
     return [measure_env_step(10 ** e, steps=steps) for e in range(max_exp + 1)]
+
+
+def measure_combat_step(n: int, steps: int = 500, env_name: str = "SingleCombat",
+                        aero_backend: str = "auto") -> Dict:
+    """Wall-time the combat-family env step at ~n total agents.
+
+    Same protocol as measure_env_step, but for the 4 combat envs: gun 1v1
+    (5 PID+FDM substeps per env step, `singlecombat_env.py:244-261`), team
+    nvn (1 substep + all-pairs geometry), and their missile variants
+    (+ [n, K] weapon layer, with the shoot bit held HIGH so launch gating /
+    PN flight / hit tests are all exercised). n is rounded down to a whole
+    number of env groups.
+    """
+    from .envs import (MultipleCombatEnv, MultipleCombatShootEnv,
+                       SingleCombatEnv, SingleCombatShootEnv)
+    cls, cfg_name, shoot = {
+        "SingleCombat": (SingleCombatEnv, "selfplay", False),
+        "SingleCombatShoot": (SingleCombatShootEnv, "selfplay_shoot", True),
+        "MultipleCombat": (MultipleCombatEnv, "multiple_selfplay", False),
+        "MultipleCombatShoot": (MultipleCombatShootEnv,
+                                "multiple_selfplay_shoot", True),
+    }[env_name]
+    kw = {} if env_name.startswith("Multiple") else \
+        {"aero_backend": aero_backend}
+    probe = cls(num_envs=1, config=cfg_name, **kw)
+    num_envs = max(1, n // probe.num_agents)
+    env = cls(num_envs=num_envs, config=cfg_name, **kw)
+    if shoot:
+        # mid-bin demands + shoot bit high: worst-case weapon-layer work
+        action = jnp.tile(
+            jnp.array([[20.0, 20.0, 20.0, 20.0, 1.0]], jnp.float32),
+            (env.n, 1))
+    else:
+        action = jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32),
+                          (env.n, 1))
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state, out = env.step(state, action)        # warmup/compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, out = env.step(state, action)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    return {
+        "env": env_name,
+        "n": env.n,
+        "num_envs": num_envs,
+        "steps": steps,
+        "elapsed_s": elapsed,
+        "s_per_step": elapsed / steps,
+        "agent_steps_per_s": env.n * steps / elapsed,
+        "inner_fdm_steps": env.inner_steps,
+    }
+
+
+def measure_combat_sweep(max_exp: int = 6, steps: int = 200) -> List[Dict]:
+    """Combat + shoot rows at n = 10^1 .. 10^max_exp total agents."""
+    rows = []
+    for env_name in ("SingleCombat", "SingleCombatShoot",
+                     "MultipleCombat", "MultipleCombatShoot"):
+        for e in range(1, max_exp + 1):
+            rows.append(measure_combat_step(10 ** e, steps=steps,
+                                            env_name=env_name))
+    return rows
