@@ -272,13 +272,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
                  config: "str | EnvConfig" = "multiple_selfplay_shoot"):
         super().__init__(num_envs, config)
         cfg = self.config
-        assert not cfg.missile_threat_obs, (
-            "missile_threat_obs is 1v1-only for now (the team threat block "
-            "would need per-agent nearest-incoming gathers)")
         self.action_space = ShootTuple(
             (cfg.throttle_bins,) + (cfg.attitude_bins,) * 3)
         self.num_actions = self.action_space.dim
-        self.num_observation += 3
+        # +3 missile dims; +3 more threat dims (nearest incoming missile's
+        # bearing/closure) when missile_threat_obs - the team-evadable game
+        self.num_observation += 6 if cfg.missile_threat_obs else 3
         # the Beta launch prior must key on the LOCK TARGET (nearest alive
         # enemy = first enemy block of the team layout), not the 1v1 slots
         # 11/13 (those are teammate geometry here): enemy block starts at
@@ -404,11 +403,39 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
             axis=-1)                                          # [E, m, K, m]
         targeting = (act_g[..., None]
                      & (tgt_g[..., None] == jnp.arange(m)[None, None, None]))
-        nearest = jnp.where(targeting, d, jnp.inf).min(axis=(1, 2))  # [E, m]
+        keyed = jnp.where(targeting, d, jnp.inf)              # [E, m, K, m]
+        nearest = keyed.min(axis=(1, 2))                      # [E, m]
         alert = jnp.isfinite(nearest)
-        extra = jnp.stack([
+        alert_f = alert.astype(jnp.float32)
+        cols = [
             state.ammo.astype(jnp.float32).reshape(E, m) / cfg.max_missiles,
-            alert.astype(jnp.float32),
+            alert_f,
             jnp.where(alert, nearest, 0.0) * FT / 10000.0,
-        ], axis=-1)                                           # [E, m, 3]
-        return jnp.concatenate([base, extra.reshape(self.n, 3)], axis=1)
+        ]
+        if cfg.missile_threat_obs:
+            # nearest incoming missile's bearing (relative to my heading)
+            # + line-of-sight closure, per victim — the same threat block
+            # the 1v1 evadable game carries, so directed team breaks are
+            # representable. Flatten (shooter, slot) and argmin per victim.
+            kf = keyed.transpose(0, 3, 1, 2).reshape(E, m, m * K)
+            slot = jnp.argmin(kf, axis=-1)                    # [E, m]
+            mpos_f = pos_g.reshape(E, m * K, 3)
+            mvel_f = mis.vel.reshape(E, m, K, 3).reshape(E, m * K, 3)
+            erows = jnp.arange(E)[:, None]
+            mpos = mpos_f[erows, slot]                        # [E, m, 3]
+            mvel = mvel_f[erows, slot]
+            my_vel = self._group(xdot[:, :3])                 # [E, m, 3]
+            heading = self._group(state.model.s[:, 5])        # [E, m]
+            dpos = mpos - my_pos
+            brg = jnp.arctan2(dpos[..., 1], dpos[..., 0])
+            rel_brg = wrap_PI(brg - heading)
+            horiz = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
+            closure = -jnp.sum((mvel - my_vel) * dpos, axis=-1) / horiz
+            cols += [
+                jnp.sin(rel_brg) * alert_f,
+                jnp.cos(rel_brg) * alert_f,
+                closure * FT / 340.0 * alert_f,
+            ]
+        extra = jnp.stack(cols, axis=-1)                      # [E, m, 3|6]
+        return jnp.concatenate(
+            [base, extra.reshape(self.n, len(cols))], axis=1)

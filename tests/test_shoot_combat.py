@@ -559,3 +559,52 @@ def test_team_prior_slots_point_at_lock_target():
     a0, b0 = shoot_priors(obs, *tenv.shoot_prior_slots)
     np.testing.assert_allclose(np.asarray(a0[:, 0]), 10.0)  # close -> eager
     np.testing.assert_allclose(np.asarray(b0[:, 0]), 3.0)   # on-nose
+
+
+def test_team_evadable_threat_obs():
+    """The team game carries the same per-agent threat block as the 1v1
+    evadable game (bearing/closure of the nearest missile LOCKED on me):
+    obs 30 -> 36 at 2v2, bearing ~ dead ahead in a nose-on mutual volley."""
+    from neuralplane_tpu.envs import MultipleCombatShootEnv
+    tenv = MultipleCombatShootEnv(num_envs=2,
+                                  config="multiple_selfplay_shoot_evadable")
+    assert tenv.num_observation == 30 + 6
+    state, obs = tenv.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (tenv.n, 36)
+    np.testing.assert_allclose(np.asarray(obs[:, 33:36]), 0.0)  # no alert
+
+    state = _nose_on(tenv, state)
+    fire_all = jnp.concatenate(
+        [jnp.full((tenv.n, 4), 20.0), jnp.ones((tenv.n, 1))], axis=1)
+    state, out = tenv.step(state, fire_all)
+    assert int(out.info["shoot/launches"]) == tenv.n
+    o = np.asarray(out.obs)
+    assert (o[:, 31] == 1.0).all()                 # alert up for everyone
+    np.testing.assert_allclose(o[:, 33], 0.0, atol=0.15)   # sin(rel brg)
+    assert (o[:, 34] > 0.85).all()                 # cos(rel brg): ahead
+    assert (o[:, 35] > 1.0).all()                  # closing > mach 1
+    assert np.isfinite(o).all()
+
+
+def test_team_evadable_graded_damage():
+    """pk-weighted warhead in the team game: drive a volley to detonation
+    and check blood drains by a NON-quantized amount (graded pk), with
+    counters consistent."""
+    from neuralplane_tpu.envs import MultipleCombatShootEnv
+    tenv = MultipleCombatShootEnv(num_envs=2,
+                                  config="multiple_selfplay_shoot_evadable")
+    state, _ = tenv.reset(jax.random.PRNGKey(1))
+    state = _nose_on(tenv, state, rng_ft=9000.0)
+    fire_all = jnp.concatenate(
+        [jnp.full((tenv.n, 4), 20.0), jnp.ones((tenv.n, 1))], axis=1)
+    hits = 0
+    # team env runs 1 FDM substep per step (dt 0.02): a 9000 ft nose-on
+    # closure at ~3000 ft/s needs ~150 steps to reach the fuse
+    for _ in range(300):
+        state, out = tenv.step(state, fire_all)
+        hits += int(out.info["shoot/hits"])
+        if hits > 0:
+            break
+    assert hits > 0, "no detonation in a nose-on volley"
+    blood = np.asarray(state.blood)
+    assert blood.min() < 100.0 - 1.0   # someone took real missile damage
