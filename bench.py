@@ -51,7 +51,7 @@ def main() -> None:
     if args.combat_sweep:
         for row in measure_combat_sweep(max_exp=args.combat_max_exp,
                                         steps=min(args.steps, 200)):
-            print(json.dumps(row), file=sys.stderr)
+            print(json.dumps(row), file=sys.stderr, flush=True)
 
     res = measure_env_step(args.n, steps=args.steps,
                            aero_backend=args.aero)

@@ -123,12 +123,16 @@ def measure_combat_step(n: int, steps: int = 500, env_name: str = "SingleCombat"
     }
 
 
-def measure_combat_sweep(max_exp: int = 6, steps: int = 200) -> List[Dict]:
-    """Combat + shoot rows at n = 10^1 .. 10^max_exp total agents."""
-    rows = []
+def measure_combat_sweep(max_exp: int = 6, steps: int = 200):
+    """Combat + shoot rows at n = 10^1 .. 10^max_exp total agents.
+
+    A generator (one yield per finished row) so callers can stream rows
+    out as they land — the sweep compiles 4 env classes x max_exp batch
+    shapes, minutes each cold through the TPU relay, and a buffered list
+    would lose everything to a mid-sweep timeout or relay wedge.
+    """
     for env_name in ("SingleCombat", "SingleCombatShoot",
                      "MultipleCombat", "MultipleCombatShoot"):
         for e in range(1, max_exp + 1):
-            rows.append(measure_combat_step(10 ** e, steps=steps,
-                                            env_name=env_name))
-    return rows
+            yield measure_combat_step(10 ** e, steps=steps,
+                                      env_name=env_name)

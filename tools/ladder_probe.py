@@ -160,6 +160,14 @@ def main() -> None:
     p.add_argument("--opp-ckpt-dir", default=None,
                    help="load OPPONENTS from a different run's checkpoint "
                    "dir (cross-run head-to-heads, e.g. FSP vs PFSP finals)")
+    p.add_argument("--both-sides", action="store_true",
+                   help="also play each match with the sides swapped and "
+                   "report the orientation-summed row. The reference obs "
+                   "convention hands the odd-row side its role-swapped "
+                   "side flag (singlecombat_env.py:118-125), which costs a "
+                   "fine-maneuvering policy a measurable home advantage "
+                   "(~2.5:1 in an evadable-game mirror); summing both "
+                   "orientations cancels it")
     # network shape must match the checkpoints (train CLI defaults)
     p.add_argument("--hidden-size", default="128 128")
     p.add_argument("--act-hidden-size", default="128 128")
@@ -199,6 +207,16 @@ def main() -> None:
                                           args.steps,
                                           jax.random.PRNGKey(args.seed),
                                           stochastic=args.stochastic)
+        if args.both_sides:
+            # swapped orientation: the FINAL policy plays the odd rows;
+            # summing both cancels the obs-convention home advantage
+            o2, e2, ends2, ow2, ew2 = head_to_head(
+                env, policy, opp, final, args.steps,
+                jax.random.PRNGKey(args.seed + 1),
+                stochastic=args.stochastic)
+            e = (e * ends + e2 * ends2) / (ends + ends2)
+            o = (o * ends + o2 * ends2) / (ends + ends2)
+            ends, ew, ow = ends + ends2, ew + ew2, ow + ow2
         diff = e - o
         verdict = ("WIN" if diff > args.tie_band
                    else "LOSS" if diff < -args.tie_band else "tie")
