@@ -15,4 +15,5 @@ python -m neuralplane_tpu.scripts.train \
     --n-rollout-threads 500 --num-env-steps 3e9 \
     --buffer-size 1000 --num-mini-batch 5 --ppo-epoch 16 \
     --lr 3e-4 --gamma 0.99 --entropy-coef 1e-3 --max-grad-norm 2 \
+    --min-log-std -2.3 \
     --data-chunk-length 8 --log-interval 1 --save-interval 1 "$@"
