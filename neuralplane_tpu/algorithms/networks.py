@@ -59,6 +59,14 @@ class NetSpec:
     # results/mappo_2v2, entropy ≈ -49 by 1.5e9 steps. None = no floor,
     # exact reference behavior).
     min_log_std: float = -1e9
+    # BPTT remat policy: False = full remat (recompute the whole GRU cell
+    # per timestep in the backward - minimal memory, the safe default for
+    # the 3000x3000-scale control workloads); True = save the two gate
+    # matmul outputs per step (jax.checkpoint_policies dots) and recompute
+    # only elementwise ops - ~2 extra [L, mb, 3H] residuals per trunk,
+    # measurably faster PPO updates at combat-training scale. Identical
+    # values and gradients either way.
+    remat_save_dots: bool = False
 
     @staticmethod
     def from_config(cfg: RLConfig, obs_dim: int, act_dim: int) -> "NetSpec":
@@ -74,6 +82,7 @@ class NetSpec:
             gain=cfg.gain,
             min_log_std=(-1e9 if cfg.min_log_std is None
                          else float(cfg.min_log_std)),
+            remat_save_dots=getattr(cfg, "remat_save_dots", False),
         )
 
     @property
@@ -211,22 +220,31 @@ def _trunk_seq(p: Params, spec: NetSpec, obs: jnp.ndarray, h0: jnp.ndarray,
             x = _layer_norm(p["feature_norm"], x)
         return _mlp(p["base"], x, spec.activation), h0
 
-    # Recurrent path: ONE scan over T with a rematerialized body. Without
-    # remat, the BPTT backward keeps every per-timestep/per-gate activation
-    # alive at once ([T, N, H] x ~20 tensors - 33+ GB at the reference's
-    # 3000x3000 control workload, OOMing a 16 GB chip); jax.checkpoint
-    # recomputes them per timestep in the backward instead, storing only
-    # the [N, layers, H] carries. Same values, same gradients.
-    def body(h, inp):
-        o, m = inp
-        x = o
-        if spec.use_feature_normalization:
-            x = _layer_norm(p["feature_norm"], x)
-        x = _mlp(p["base"], x, spec.activation)
-        x, h = _gru_step(p["gru"], x, h, m)
-        return h, x
+    # Recurrent path: the feedforward base runs ONCE over the whole
+    # [T, N, obs] block (one large MXU-friendly matmul per layer instead of
+    # T small ones inside the scan - and, with remat, instead of 2T: the
+    # rematerialized backward used to recompute the base per timestep too).
+    # Only the truly sequential GRU cell is scanned, with a rematerialized
+    # body: without remat, the BPTT backward keeps every per-timestep/
+    # per-gate activation alive at once ([T, N, H] x ~20 tensors - 33+ GB
+    # at the reference's 3000x3000 control workload, OOMing a 16 GB chip);
+    # jax.checkpoint recomputes them per timestep in the backward instead,
+    # storing only the [N, layers, H] carries and the base features (which
+    # are the scan's xs, stored either way). Same values, same gradients.
+    x = obs
+    if spec.use_feature_normalization:
+        x = _layer_norm(p["feature_norm"], x)
+    x = _mlp(p["base"], x, spec.activation)
 
-    hT, ys = jax.lax.scan(jax.checkpoint(body), h0, (obs, masks))
+    def body(h, inp):
+        feat, m = inp
+        y, h = _gru_step(p["gru"], feat, h, m)
+        return h, y
+
+    remat = (jax.checkpoint(
+        body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        if spec.remat_save_dots else jax.checkpoint(body))
+    hT, ys = jax.lax.scan(remat, h0, (x, masks))
     return ys, hT
 
 

@@ -126,7 +126,14 @@ class PPOTrainer:
 
         def epoch_body(state, epoch_key):
             perm = jax.random.permutation(epoch_key, num_chunks)[:used]
-            mb_idx = perm.reshape(cfg.num_mini_batch, mb_size)
+            # sort WITHIN each minibatch: the loss is a mean over the
+            # minibatch, so row order is irrelevant, but monotone indices
+            # turn the chunk gathers from random HBM access into
+            # quasi-sequential reads (the gather was ~5 ms/minibatch at
+            # the 2v2 production config). The random PARTITION into
+            # minibatches is unchanged.
+            mb_idx = jnp.sort(perm.reshape(cfg.num_mini_batch, mb_size),
+                              axis=1)
 
             def mb_body(state, idx):
                 return self._update_minibatch(state, gather_mb(idx))

@@ -57,6 +57,12 @@ class RLConfig:
     # runs collapse sigma to ~1e-6 (results/mappo_2v2: entropy -49 by 1.5e9
     # steps), killing exploration; -2.3 keeps sigma >= ~0.1.
     min_log_std: "float | None" = None
+    # BPTT remat policy (networks.NetSpec.remat_save_dots): save the GRU
+    # gate matmul outputs in the PPO update's backward instead of full
+    # per-timestep recompute. Faster updates at combat-training scale;
+    # default False keeps the minimal-memory behavior the 3000x3000
+    # control workload needs. Values/gradients identical either way.
+    remat_save_dots: bool = False
 
     # selfplay (config.py:217-224)
     use_selfplay: bool = False
@@ -83,6 +89,15 @@ class RLConfig:
     # On team combat the deterministic protocol yields ~no kill events
     # (results/mappo_2v2), leaving the in-training ELO ladder frozen.
     eval_stochastic: bool = False
+    # beyond reference: score team-game ELO eval episodes on DECISIVE
+    # events (team wipes from StepOutput.active) instead of the banded
+    # mean-reward W/T/L. The banded protocol is near-silent on team
+    # combat below multi-1e9 budgets (latest_elo stayed at init through
+    # the full 1e9 2v2-evadable run, results/mappo_2v2_evadable): team
+    # posture diffs live inside any honest band while wipe counts move.
+    # ELO gets the fractional score (wins + ties/2) / episodes, so any
+    # wipe surplus moves the rating.
+    eval_event_scoring: bool = False
     render_opponent_index: str = "latest"
     render_index: str = "latest"
 

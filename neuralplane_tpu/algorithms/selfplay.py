@@ -56,3 +56,20 @@ def elo_update(ego_elo: float, opponent_elo: np.ndarray,
                      np.where(np.abs(diff) < tie_band, 0.5, 1.0))
     gain = k_factor * (s_ego - expected_ego)
     return float((ego_elo + gain).mean()), opponent_elo - gain
+
+
+def elo_update_scored(ego_elo: float, opponent_elo: np.ndarray,
+                      s_ego: np.ndarray, k_factor: float = 32.0
+                      ) -> Tuple[float, np.ndarray]:
+    """ELO exchange from a FRACTIONAL actual score per opponent slice.
+
+    Beyond the reference protocol: team-game eval scores
+    s = (wins + ties/2) / episodes from decisive team-wipe events (see
+    RLConfig.eval_event_scoring) - standard ELO accepts fractional
+    actual scores directly, so a surplus of wipes moves the rating even
+    when most episodes are indecisive. Zero-sum, same K as elo_update.
+    """
+    opponent_elo = np.asarray(opponent_elo, dtype=np.float64)
+    expected_ego = 1.0 / (1.0 + 10.0 ** ((opponent_elo - ego_elo) / 400.0))
+    gain = k_factor * (np.asarray(s_ego, dtype=np.float64) - expected_ego)
+    return float((ego_elo + gain).mean()), opponent_elo - gain

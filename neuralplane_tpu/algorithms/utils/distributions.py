@@ -55,7 +55,13 @@ class Categorical(NamedTuple):
     def log_prob(self, actions: jnp.ndarray) -> jnp.ndarray:
         logp = jax.nn.log_softmax(self.logits, axis=-1)
         idx = actions.astype(jnp.int32).squeeze(-1)
-        return jnp.take_along_axis(logp, idx[..., None], axis=-1)
+        # one-hot contraction instead of take_along_axis: the per-element
+        # gather lowers to a latency-bound scalar loop on TPU (measured
+        # ~3 ms per [8,25k,41] minibatch in the PPO update - 4 heads cost
+        # more than a GRU backward); the masked reduction is one VPU pass.
+        # Exact same value: logp is finite, so 0 * logp has no NaN path.
+        onehot = (idx[..., None] == jnp.arange(logp.shape[-1]))
+        return jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1, keepdims=True)
 
     def entropy(self) -> jnp.ndarray:
         logp = jax.nn.log_softmax(self.logits, axis=-1)

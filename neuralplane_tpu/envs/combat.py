@@ -170,6 +170,12 @@ class SingleCombatEnv:
         m = self.num_agents
         is_ego = (jnp.arange(self.n) % m) < (m // 2)
         AO, TA, R, side = fn(pos, pos[opp], vel, vel[opp], return_side=True)
+        if self.config.symmetric_side_flag:
+            # beyond-reference option: every agent reads the flag in its
+            # OWN convention (what ego rows always get) - removes the
+            # measured ~2.5:1 ego-side mirror advantage the role-swapped
+            # convention causes (see utils/config.py symmetric_side_flag)
+            return AO, TA, R, side
         # Enemy rows take the reference's role-swapped convention
         # (pi - TA_e, pi - AO_e, -side_e) — but because arccos(-x) =
         # pi - arccos(x) and the swapped call negates every dot product,
@@ -357,6 +363,41 @@ class MultipleCombatEnv(SingleCombatEnv):
                  - vel_g[:, :, None, 1] * delta[..., 0])
         return AO, TA, R, jnp.sign(cross)
 
+    def _all_pairs_both(self, pos_g: jnp.ndarray, vel_g: jnp.ndarray):
+        """Planar AND 3-D all-pairs geometry in one pass over a shared
+        delta (the step used to evaluate `_all_pairs` up to four times -
+        obs, damage, crash, second perm - which made the team step the
+        measured HBM-bound outlier at 10^6 agents, results/bench/REPORT.md).
+
+        Returns ((AO2, TA2, R2, side), (AO3, TA3, R3)); the side flag is
+        planar by definition (z-cross of the horizontal components), which
+        is also exactly what the 3-D path computed.
+        """
+        delta = pos_g[:, None, :, :] - pos_g[:, :, None, :]   # [E,m,m,3]
+        d2 = delta[..., 0] ** 2 + delta[..., 1] ** 2
+        R2 = jnp.sqrt(d2)
+        R3 = jnp.sqrt(d2 + delta[..., 2] ** 2)
+        v2 = jnp.sqrt(vel_g[..., 0] ** 2 + vel_g[..., 1] ** 2)
+        v3 = jnp.linalg.norm(vel_g, axis=-1)
+
+        def angles(proj_fn, R, v):
+            pi = proj_fn("eik")
+            AO = jnp.arccos(jnp.clip(
+                pi / (R * v[:, :, None] + 1e-8), -1.0, 1.0))
+            pj = proj_fn("ejk")
+            TA = jnp.arccos(jnp.clip(
+                pj / (R * v[:, None, :] + 1e-8), -1.0, 1.0))
+            return AO, TA
+
+        AO2, TA2 = angles(
+            lambda s: jnp.einsum("eijk,%s->eij" % s, delta[..., :2],
+                                 vel_g[..., :2]), R2, v2)
+        AO3, TA3 = angles(
+            lambda s: jnp.einsum("eijk,%s->eij" % s, delta, vel_g), R3, v3)
+        cross = (vel_g[:, :, None, 0] * delta[..., 1]
+                 - vel_g[:, :, None, 1] * delta[..., 0])
+        return (AO2, TA2, R2, jnp.sign(cross)), (AO3, TA3, R3)
+
     def _team_slices(self):
         """(teammate_idx[m, h-1], enemy_idx[m, h]) static index tables."""
         m, h = self.num_agents, self.half
@@ -373,7 +414,14 @@ class MultipleCombatEnv(SingleCombatEnv):
 
         Returns [E, m, h] global-within-group enemy indices and the sort
         key ([E, m, h] masked ranges, dead enemies pushed to +inf).
+
+        For the team sizes that exist (h <= 4) the sort is a stable
+        compare-exchange (bubble) network on (key, idx) column pairs -
+        pure VPU selects, no general key-value sort lowering (the
+        per-agent `argsort` was flagged as part of the team env's
+        HBM-heavy hot path at 10^6 agents, results/bench/REPORT.md).
         """
+        h = self.half
         _, enemy_idx = self._team_slices()
         eidx = jnp.asarray(enemy_idx)                       # [m, h]
         R_en = jnp.take_along_axis(
@@ -381,9 +429,21 @@ class MultipleCombatEnv(SingleCombatEnv):
             axis=2)                                          # [E, m, h]
         alive_en = alive_g[:, eidx]                          # [E, m, h]
         key = jnp.where(alive_en, R_en, jnp.inf)
+        idx = jnp.broadcast_to(eidx[None], key.shape)
+        if h <= 4:
+            ks = [key[..., i] for i in range(h)]
+            vs = [idx[..., i] for i in range(h)]
+            # bubble network with strict-less swaps == stable sort
+            for end in range(h - 1, 0, -1):
+                for i in range(end):
+                    swap = ks[i + 1] < ks[i]
+                    ks[i], ks[i + 1] = (jnp.where(swap, ks[i + 1], ks[i]),
+                                        jnp.where(swap, ks[i], ks[i + 1]))
+                    vs[i], vs[i + 1] = (jnp.where(swap, vs[i + 1], vs[i]),
+                                        jnp.where(swap, vs[i], vs[i + 1]))
+            return jnp.stack(vs, axis=-1), jnp.stack(ks, axis=-1)
         order = jnp.argsort(key, axis=-1)                    # [E, m, h]
-        perm = jnp.take_along_axis(
-            jnp.broadcast_to(eidx[None], key.shape), order, axis=-1)
+        perm = jnp.take_along_axis(idx, order, axis=-1)
         return perm, jnp.take_along_axis(key, order, axis=-1)
 
     # ---- subclass hooks (weapons) ----
@@ -393,12 +453,15 @@ class MultipleCombatEnv(SingleCombatEnv):
         return jnp.clip(action, -1.0, 1.0), None
 
     def _weapon_phase(self, state: CombatState, mstate, xdot: jnp.ndarray,
-                      alive_g: jnp.ndarray, fire, perm, key_sorted):
+                      alive_g: jnp.ndarray, fire, perm, key_sorted, AO_t):
         """Subclass hook between the FDM scan and blood accounting.
 
-        Returns (state, extra_incoming [E, m], extra_dealt [E, m],
-        reward_adjust [E, m], info dict). The base game has no weapons
-        beyond the gun damage computed inline in step().
+        `AO_t` [E, m] is each agent's angle-off toward its nearest alive
+        enemy (`perm[:, :, 0]`) - precomputed by step() so the weapon WEZ
+        gate doesn't re-derive it. Returns (state, extra_incoming [E, m],
+        extra_dealt [E, m], reward_adjust [E, m], info dict). The base
+        game has no weapons beyond the gun damage computed inline in
+        step().
         """
         E, m = self.num_envs, self.num_agents
         z = jnp.zeros((E, m), jnp.float32)
@@ -429,7 +492,11 @@ class MultipleCombatEnv(SingleCombatEnv):
         pos_g = self._group(mstate.s[:, :3])
         vel_g = self._group(xdot[:, :3])
         alive_g = self._group(alive_pre)
-        AO3, TA3, R3, _ = self._all_pairs(pos_g, vel_g, planar=False)
+        # ONE all-pairs geometry pass (planar + 3-D share the delta); the
+        # packs are threaded through obs/termination/weapons below instead
+        # of being recomputed per consumer (they were the measured
+        # HBM-bound outlier at 10^6 agents, results/bench/REPORT.md)
+        planar_pack, (AO3, TA3, R3) = self._all_pairs_both(pos_g, vel_g)
         perm, key_sorted = self._nearest_enemy_perm(R3, alive_g)
 
         # nearest-alive-threat damage (pre-step liveness on both sides)
@@ -446,7 +513,7 @@ class MultipleCombatEnv(SingleCombatEnv):
                               dmg)
 
         state, w_incoming, w_dealt, r_adj, w_info = self._weapon_phase(
-            state, mstate, xdot, alive_g, fire, perm, key_sorted)
+            state, mstate, xdot, alive_g, fire, perm, key_sorted, AO_t)
         incoming = incoming + w_incoming
         blood = state.blood - incoming.reshape(-1)
         alive_post = blood > 0.0
@@ -454,9 +521,10 @@ class MultipleCombatEnv(SingleCombatEnv):
 
         new_state = state.replace(model=mstate, controller=cst, blood=blood,
                                   step_count=step_count)
-        obs = self._team_obs(new_state, xdot, alive_post_g)
+        obs = self._team_obs(new_state, xdot, alive_post_g,
+                             geom=(planar_pack, R3))
         done, bad, exceed, info = self._team_termination(
-            new_state, xdot, alive_post_g)
+            new_state, xdot, alive_post_g, dist=R3)
         # team-shared reward: alive-masked posture vs nearest alive enemy
         TA_t = jnp.take_along_axis(TA3, target[:, :, None], axis=2)[:, :, 0]
         posture = (0.01 * orientation_reward(AO_t, TA_t)
@@ -489,7 +557,9 @@ class MultipleCombatEnv(SingleCombatEnv):
 
     # ---- team observation ----
     def _team_obs(self, state: CombatState, xdot: jnp.ndarray,
-                  alive_g: jnp.ndarray) -> jnp.ndarray:
+                  alive_g: jnp.ndarray, geom=None) -> jnp.ndarray:
+        """Team obs; `geom` = ((AO, TA, R, side) planar, R3) precomputed by
+        step() - reset()/_obs compute it fresh."""
         E, m, h = self.num_envs, self.num_agents, self.half
         s = state.model.s
         vu, vv, vw = self.model.get_velocity(state.model)
@@ -501,23 +571,30 @@ class MultipleCombatEnv(SingleCombatEnv):
             s[:, 6] * FT / 340.0,
         ], axis=1).reshape(E, m, 9)
 
-        pos_g = self._group(s[:, :3])
-        vel_g = self._group(xdot[:, :3])
-        AO, TA, R, side = self._all_pairs(pos_g, vel_g, planar=True)
+        if geom is None:
+            pos_g = self._group(s[:, :3])
+            vel_g = self._group(xdot[:, :3])
+            geom = self._all_pairs_both(pos_g, vel_g)
+            geom = (geom[0], geom[1][2])
+        (AO, TA, R, side), R3 = geom
         vu_g = self._group(vu)
         alt_g = self._group(s[:, 2])
         dvx = (vu_g[:, None, :] - vu_g[:, :, None]) * FT / 340.0  # [E,m,m]
         dalt = (alt_g[:, None, :] - alt_g[:, :, None]) * FT / 1000.0
+        # ONE stacked feature tensor -> one gather per block (the six
+        # separate take_along_axis passes were HBM-bound at scale)
+        feats_all = jnp.stack([dvx, dalt, AO, TA, R * FT / 10000.0, side],
+                              axis=-1)                        # [E,m,m,6]
 
         def block(idx):
             """idx [E or 1, m, k] of within-group agent indices ->
             [E, m, k, 7] relative blocks, dead blocks zeroed."""
             idxb = jnp.broadcast_to(idx, (E, m, idx.shape[-1]))
-            take = lambda M: jnp.take_along_axis(M, idxb, axis=2)
+            feats = jnp.take_along_axis(
+                feats_all, idxb[..., None], axis=2)           # [E,m,k,6]
             alive_bc = jnp.broadcast_to(alive_g[:, None, :], (E, m, m))
-            a_f = take(alive_bc).astype(dvx.dtype)
-            feats = jnp.stack([take(dvx), take(dalt), take(AO), take(TA),
-                               take(R) * FT / 10000.0, take(side)], axis=-1)
+            a_f = jnp.take_along_axis(alive_bc, idxb,
+                                      axis=2).astype(dvx.dtype)
             return jnp.concatenate([feats * a_f[..., None], a_f[..., None]],
                                    axis=-1)
 
@@ -526,14 +603,13 @@ class MultipleCombatEnv(SingleCombatEnv):
         if h > 1:
             mi = jnp.asarray(mates_idx)[None]                # [1, m, h-1]
             parts.append(block(mi).reshape(E, m, (h - 1) * 7))
-        R3 = self._all_pairs(pos_g, vel_g, planar=False)[2]
         perm, _ = self._nearest_enemy_perm(R3, alive_g)      # [E, m, h]
         parts.append(block(perm).reshape(E, m, h * 7))
         return jnp.concatenate(parts, axis=-1).reshape(self.n, -1)
 
     # ---- team termination ----
     def _team_termination(self, state: CombatState, xdot: jnp.ndarray,
-                          alive_g: jnp.ndarray):
+                          alive_g: jnp.ndarray, dist=None):
         cfg, model, mstate = self.config, self.model, state.model
         E, m, h = self.num_envs, self.num_agents, self.half
         alive = alive_g.reshape(-1)
@@ -551,9 +627,11 @@ class MultipleCombatEnv(SingleCombatEnv):
             ("timeout", X.timeout(cfg, state.step_count)),
         ]
         # crash: any ALIVE pair within a group closer than distance_limit
-        pos_g = self._group(mstate.s[:, :3])
-        delta = pos_g[:, None, :, :] - pos_g[:, :, None, :]
-        dist = jnp.linalg.norm(delta, axis=-1)
+        # (dist = the step's R3 when provided; recomputed otherwise)
+        if dist is None:
+            pos_g = self._group(mstate.s[:, :3])
+            delta = pos_g[:, None, :, :] - pos_g[:, :, None, :]
+            dist = jnp.linalg.norm(delta, axis=-1)
         pair_alive = alive_g[:, :, None] & alive_g[:, None, :]
         off_diag = ~jnp.eye(m, dtype=bool)[None]
         close = (dist < cfg.distance_limit) & pair_alive & off_diag

@@ -149,8 +149,9 @@ class SingleCombatShootEnv(SingleCombatEnv):
             brg = jnp.arctan2(dpos[:, 1], dpos[:, 0])  # atan2(east, north)
             rel_brg = wrap_PI(brg - state.model.s[:, 5])
             # closing speed along the line of sight (ft/s, >0 = inbound)
-            horiz = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
-            closure = -jnp.sum((mvel - xdot[:, :3]) * dpos, axis=-1) / horiz
+            los_range = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
+            closure = (-jnp.sum((mvel - xdot[:, :3]) * dpos, axis=-1)
+                       / los_range)
             cols += [
                 jnp.sin(rel_brg) * alert_f,
                 jnp.cos(rel_brg) * alert_f,
@@ -212,18 +213,23 @@ class SingleCombatShootEnv(SingleCombatEnv):
         obs = self._obs(new_state, xdot)
         done, bad, exceed, info = self._termination(new_state, xdot)
         # reward = posture shaping - launch cost + the EventDrivenReward
-        # +-200 on the Shutdown win/lose split (the kill itself scores;
-        # previously only documented) + optional dense damage shaping
-        lose, win, _ = X.shutdown(cfg, blood, blood[opp])
+        # +-200 on ANY is_done / bad_done (event_driven_reward.py:28
+        # scale AND trigger set: -200 for dying by crash/overload/low-alt
+        # exactly as for being shot down - otherwise terrain suicide is
+        # strictly cheaper than losing, a reward-hack a losing policy
+        # will find) + optional dense damage shaping
         reward = (self._reward(new_state, xdot)
                   - cfg.missile_shoot_cost * fire.astype(jnp.float32)
-                  + 200.0 * win.astype(jnp.float32)
-                  - 200.0 * lose.astype(jnp.float32))
+                  + 200.0 * done.astype(jnp.float32)
+                  - 200.0 * bad.astype(jnp.float32))
         if cfg.blood_shaping:
             dealt = dmg + mis_dealt
             reward = reward + cfg.blood_shaping * (dealt - dealt[opp])
         info["shoot/launches"] = fire.sum()
         info["shoot/hits"] = hits.sum()
+        # primary effectiveness counter under the graded fuse (hits counts
+        # pk~0 near-miss detonations too - see the team env note)
+        info["shoot/pk_sum"] = pk.sum()
         # per-agent vectors for offline analysis (tools/pk_probe.py): who
         # fired, and the pk each agent's missiles delivered this step —
         # sum(pk_dealt_vec)/sum(fire_vec) per side is the per-shot kill
@@ -313,7 +319,7 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
 
     def _weapon_phase(self, state: TeamShootCombatState, mstate,
                       xdot: jnp.ndarray, alive_g: jnp.ndarray, fire,
-                      perm, key_sorted):
+                      perm, key_sorted, AO_t):
         cfg = self.config
         E, m, h = self.num_envs, self.num_agents, self.half
         n, K = self.n, cfg.max_missiles
@@ -333,16 +339,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
             fuse_outer=cfg.missile_fuse_outer)
 
         # launch at the nearest alive enemy; dead agents cannot fire, and
-        # the WEZ gate (|AO| / range to the candidate lock) applies
+        # the WEZ gate (|AO| / range to the candidate lock) applies.
+        # AO toward the candidate lock is the step's precomputed AO_t
+        # (same pairing: perm[:, :, 0]).
         target_within = perm[:, :, 0].reshape(-1)             # [n]
         has_target = jnp.isfinite(key_sorted[:, :, 0]).reshape(-1)
-        tw_flat = base + target_within
-        dpos = mstate.s[tw_flat, :3] - mstate.s[:, :3]
-        v = xdot[:, :3]
-        AO_l = jnp.arccos(jnp.clip(
-            jnp.sum(dpos * v, axis=-1)
-            / (jnp.linalg.norm(dpos, axis=-1)
-               * jnp.linalg.norm(v, axis=-1) + 1e-8), -1.0, 1.0))
+        AO_l = AO_t.reshape(-1)
         R_l = jnp.where(has_target, key_sorted[:, :, 0].reshape(-1),
                         jnp.inf)
         wez = ((AO_l <= jnp.deg2rad(cfg.wez_max_ao_deg))
@@ -380,7 +382,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
                      + fires_g[:, h:].sum(1)[:, None] * (rows >= h)[None, :])
         r_adj = -cfg.missile_shoot_cost * team_fire / h
 
-        info = {"shoot/launches": can.sum(), "shoot/hits": eff.sum()}
+        # pk_sum is the primary effectiveness counter under the graded
+        # fuse: `hits` counts every detonation incl. pk~0 defeated shots
+        # (a 399 ft CPA logs as a "hit"), so evadable-run hit RATES are
+        # not comparable to binary-fuse runs' - compare pk_sum/launches
+        info = {"shoot/launches": can.sum(), "shoot/hits": eff.sum(),
+                "shoot/pk_sum": pk_eff.sum()}
         state = state.replace(missiles=missiles, ammo=ammo,
                               cooldown=cooldown,
                               missile_target=missile_target)
@@ -388,8 +395,8 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
 
     # ---- observation ----
     def _team_obs(self, state: TeamShootCombatState, xdot: jnp.ndarray,
-                  alive_g: jnp.ndarray) -> jnp.ndarray:
-        base = super()._team_obs(state, xdot, alive_g)
+                  alive_g: jnp.ndarray, geom=None) -> jnp.ndarray:
+        base = super()._team_obs(state, xdot, alive_g, geom)
         cfg = self.config
         E, m = self.num_envs, self.num_agents
         mis = state.missiles
@@ -429,8 +436,8 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
             dpos = mpos - my_pos
             brg = jnp.arctan2(dpos[..., 1], dpos[..., 0])
             rel_brg = wrap_PI(brg - heading)
-            horiz = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
-            closure = -jnp.sum((mvel - my_vel) * dpos, axis=-1) / horiz
+            los_range = jnp.maximum(jnp.linalg.norm(dpos, axis=-1), 1.0)
+            closure = -jnp.sum((mvel - my_vel) * dpos, axis=-1) / los_range
             cols += [
                 jnp.sin(rel_brg) * alert_f,
                 jnp.cos(rel_brg) * alert_f,

@@ -100,7 +100,7 @@ class MAPPOSelfplayRunner(SelfplayRunner):
             action_log_probs=logp, value_preds=values,
             done_count=out.done.sum() + out.bad_done.sum(),
         )
-        for k in ("shoot/launches", "shoot/hits"):
+        for k in ("shoot/launches", "shoot/hits", "shoot/pk_sum"):
             if k in out.info:
                 step_data[k.replace("/", "_")] = out.info[k]
         new_carry = SelfplayCarry(

@@ -27,7 +27,8 @@ from flax import struct
 
 from ..algorithms.ppo.buffer import RolloutBatch
 from ..algorithms.rl_config import RLConfig
-from ..algorithms.selfplay import choose_opponent, elo_update
+from ..algorithms.selfplay import (choose_opponent, elo_update,
+                                   elo_update_scored)
 from ..utils.checkpoint import load_pytree, save_pytree
 from .base import Runner
 
@@ -240,7 +241,7 @@ class SelfplayRunner(Runner):
         )
         # weapon envs expose launch/hit counts; fold them into the scanned
         # counters so training logs carry combat activity (kills/episode)
-        for k in ("shoot/launches", "shoot/hits"):
+        for k in ("shoot/launches", "shoot/hits", "shoot/pk_sum"):
             if k in out.info:
                 step_data[k.replace("/", "_")] = out.info[k]
         new_carry = SelfplayCarry(
@@ -338,10 +339,18 @@ class SelfplayRunner(Runner):
         # line flyers producing ~no kill events, results/mappo_2v2), so
         # the in-training ELO ladder only moves under sampled play.
         det = not self.cfg.eval_stochastic
+        # Beyond reference (--eval-event-scoring): score each completed
+        # episode on DECISIVE team-wipe events from StepOutput.active
+        # (win = enemy team wiped & own alive; tie on indecisive ends),
+        # feeding ELO the fractional score instead of the banded mean-
+        # reward W/T/L (which is near-silent on team games - see
+        # RLConfig.eval_event_scoring).
+        events = self.cfg.eval_event_scoring
 
         @jax.jit
         def _run(params, opp_params, carry):
             zero = jnp.zeros((n_ego, 1), jnp.float32)
+            zero_env = jnp.zeros((num_envs,), jnp.float32)
 
             def body(state, _):
                 c, cum_ego, cum_opp = state
@@ -360,14 +369,17 @@ class SelfplayRunner(Runner):
                 env_state, out = env.step(c.env_state,
                                           merge(a_ego, a_opp))
 
-                def env_any(x):
-                    per = jnp.any(x.reshape(num_envs, num_agents),
-                                  axis=1)
+                def per_env(x):
+                    return jnp.any(x.reshape(num_envs, num_agents), axis=1)
+
+                def rep(per):
                     return jnp.repeat(per, half)[:, None]
-                dones_env = env_any(out.done)
-                bad_env = env_any(out.bad_done)
-                reset_env = env_any(out.done | out.bad_done
-                                    | out.exceed_time_limit)
+                done_pe = per_env(out.done)
+                bad_pe = per_env(out.bad_done)
+                reset_pe = per_env(out.done | out.bad_done
+                                   | out.exceed_time_limit)
+                dones_env, bad_env, reset_env = (rep(done_pe), rep(bad_pe),
+                                                 rep(reset_pe))
                 masks = 1.0 - dones_env.astype(jnp.float32)
                 bad_masks = 1.0 - bad_env.astype(jnp.float32)
                 keep = (1.0 - reset_env.astype(jnp.float32))[:, :, None]
@@ -379,7 +391,22 @@ class SelfplayRunner(Runner):
                 reset = reset_env.astype(jnp.float32)
                 cum_ego = cum_ego + ego_rew
                 cum_opp = cum_opp + opp_rew
-                emit = (cum_ego * reset, cum_opp * reset, reset)
+                if events:
+                    if out.active is None:
+                        raise ValueError(
+                            "eval_event_scoring needs a team env exposing "
+                            "StepOutput.active (wipe events)")
+                    act_g = out.active.reshape(num_envs, num_agents)
+                    own_alive = act_g[:, :half].sum(axis=1) > 0
+                    enm_alive = act_g[:, half:].sum(axis=1) > 0
+                    r_pe = reset_pe.astype(jnp.float32)
+                    win_pe = r_pe * (own_alive & ~enm_alive)
+                    loss_pe = r_pe * (~own_alive & enm_alive)
+                else:
+                    r_pe = reset_pe.astype(jnp.float32)
+                    win_pe = loss_pe = zero_env
+                emit = (cum_ego * reset, cum_opp * reset, reset,
+                        r_pe, win_pe, loss_pe)
                 cum_ego = cum_ego * (1.0 - reset)
                 cum_opp = cum_opp * (1.0 - reset)
                 c = c.replace(env_state=env_state, ego_obs=ego_obs,
@@ -388,8 +415,8 @@ class SelfplayRunner(Runner):
                               ego_masks=masks, opp_masks=masks,
                               bad_masks=bad_masks, key=k_next)
                 return (c, cum_ego, cum_opp), emit
-            (c, _, _), (e_ego, e_opp, resets) = jax.lax.scan(
-                body, (carry, zero, zero), None, length=steps)
+            (c, _, _), (e_ego, e_opp, resets, r_pe, win_pe, loss_pe) = \
+                jax.lax.scan(body, (carry, zero, zero), None, length=steps)
             # average episode reward per pool slice over COMPLETED episodes
             # (reference :211-216: mean over the team's agents then over
             # episodes; summing emitted values and dividing by per-agent
@@ -399,23 +426,42 @@ class SelfplayRunner(Runner):
             denom = jnp.maximum(ends, 1.0)
             ego = slices(e_ego.sum(0)).sum(axis=(1, 2)) / denom
             opp = slices(e_opp.sum(0)).sum(axis=(1, 2)) / denom
-            return ego, opp, ends.sum() / half
+            # env axis maps contiguously onto pool slices (pool_slices
+            # reshapes env-major), so per-slice event counts are reshapes
+            eps_s = r_pe.sum(0).reshape(K, -1).sum(1)
+            wins_s = win_pe.sum(0).reshape(K, -1).sum(1)
+            losses_s = loss_pe.sum(0).reshape(K, -1).sum(1)
+            return ego, opp, ends.sum() / half, eps_s, wins_s, losses_s
         if cached is None:
             if not hasattr(self, "_eval_run_cache"):
                 self._eval_run_cache = {}
             self._eval_run_cache[cache_key] = cached = _run
-        ego_rew, opp_rew, ends = cached(self.train_state.params, opp_params,
-                                        carry)
+        ego_rew, opp_rew, ends, eps_s, wins_s, losses_s = cached(
+            self.train_state.params, opp_params, carry)
         ego_rew, opp_rew = np.asarray(ego_rew), np.asarray(opp_rew)
         opp_elo = np.array([self.policy_pool[n] for n in names])
-        self.latest_elo, new_opp = elo_update(self.latest_elo, opp_elo,
-                                              ego_rew, opp_rew,
-                                              tie_band=self.cfg.elo_tie_band)
+        info = {}
+        if events:
+            eps_s, wins_s, losses_s = (np.asarray(eps_s),
+                                       np.asarray(wins_s),
+                                       np.asarray(losses_s))
+            ties_s = eps_s - wins_s - losses_s
+            s_ego = np.where(eps_s > 0,
+                             (wins_s + 0.5 * ties_s) / np.maximum(eps_s, 1),
+                             0.5)
+            self.latest_elo, new_opp = elo_update_scored(
+                self.latest_elo, opp_elo, s_ego)
+            info.update(eval_wins=float(wins_s.sum()),
+                        eval_losses=float(losses_s.sum()))
+        else:
+            self.latest_elo, new_opp = elo_update(
+                self.latest_elo, opp_elo, ego_rew, opp_rew,
+                tie_band=self.cfg.elo_tie_band)
         for n, e in zip(names, new_opp):
             self.policy_pool[n] = float(e)
         self.reset_opponent()
         return {"latest_elo": self.latest_elo,
-                "eval_episodes_ended": float(ends)}
+                "eval_episodes_ended": float(ends), **info}
 
     # ---- main loop ----
     def run(self) -> Dict[str, float]:
@@ -444,7 +490,7 @@ class SelfplayRunner(Runner):
                 train_infos["latest_elo"] = self.latest_elo
                 for k, v in counters.items():
                     if k.startswith("shoot_"):
-                        train_infos[k] = int(v)
+                        train_infos[k] = round(float(v), 3)
                 self.log_info(train_infos, total)
 
             if cfg.use_eval and episode % cfg.eval_interval == 0 and episode:

@@ -89,6 +89,11 @@ def get_parser() -> argparse.ArgumentParser:
                    "sigma >= ~0.1); default None = no floor, exact "
                    "reference behavior (long entropy-annealed runs can "
                    "collapse sigma, see results/mappo_2v2)")
+    p.add_argument("--remat-save-dots", action="store_true",
+                   help="save GRU gate matmul outputs in the PPO backward "
+                   "instead of full per-timestep remat: faster updates at "
+                   "combat-training scale, ~2 extra [L, mb, 3H] residuals "
+                   "of memory (identical gradients)")
     # selfplay
     p.add_argument("--use-selfplay", action="store_true")
     p.add_argument("--selfplay-algorithm", default="sp",
@@ -114,6 +119,11 @@ def get_parser() -> argparse.ArgumentParser:
                    "matches (behavioral protocol) instead of deterministic "
                    "modes; on team combat the deterministic protocol "
                    "produces ~no kills and the ELO ladder never moves")
+    p.add_argument("--eval-event-scoring", action="store_true",
+                   help="beyond reference: score team-game ELO eval "
+                   "episodes on decisive team-wipe events (win/loss from "
+                   "StepOutput.active) instead of the banded mean-reward "
+                   "W/T/L, which is near-silent on team combat")
     p.add_argument("--use-tensorboard", action="store_true")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--low-level-ckpt", default=None,
@@ -152,6 +162,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         use_max_grad_norm=args.use_max_grad_norm,
         max_grad_norm=args.max_grad_norm,
         min_log_std=args.min_log_std,
+        remat_save_dots=args.remat_save_dots,
         use_selfplay=args.use_selfplay,
         selfplay_algorithm=args.selfplay_algorithm,
         n_choose_opponents=args.n_choose_opponents,
@@ -159,6 +170,7 @@ def args_to_config(args: argparse.Namespace) -> RLConfig:
         elo_tie_band=args.elo_tie_band,
         save_interval=args.save_interval, log_interval=args.log_interval,
         use_eval=args.use_eval, eval_stochastic=args.eval_stochastic,
+        eval_event_scoring=args.eval_event_scoring,
         n_eval_rollout_threads=args.n_eval_rollout_threads or 1,
         eval_interval=args.eval_interval, eval_episodes=args.eval_episodes,
     )

@@ -88,6 +88,18 @@ class EnvConfig:
     max_npos: float = 5000.0
     min_npos: float = -5000.0
     max_epos: float = 5000.0
+    # 1v1 side-flag convention. The reference gives enemy-side rows the
+    # ROLE-SWAPPED side flag (sign of the EGO aircraft's velocity cross
+    # the line of sight, `singlecombat_env.py:118-125`), so the same
+    # policy deployed on odd rows reads obs slot 14 with different
+    # semantics than it trained on - measured as a ~2.5:1 ego-side
+    # mirror-match advantage on fine-maneuvering games
+    # (results/shoot_evadable). True = every agent computes the flag in
+    # its OWN convention (sign of its own velocity cross its line of
+    # sight - what ego rows always get). Default False for exact
+    # reference parity. The team env is unaffected: its all-pairs
+    # geometry is own-convention for every row already.
+    symmetric_side_flag: bool = False
     min_epos: float = -5000.0
 
     # shoot-combat (missile) scenarios — envs/combat_shoot.py supplies the

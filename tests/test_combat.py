@@ -45,6 +45,39 @@ def test_combat_step_blood_and_reset():
     assert int(state2.step_count[2]) == 12  # group 1 kept flying
 
 
+def test_symmetric_side_flag_option():
+    """symmetric_side_flag=True hands every agent its OWN-convention side
+    flag (obs slot 14): identical on ego rows, and on enemy rows equal to
+    what that agent would compute as ego - i.e. the flag the pair (enm,
+    ego) produces on ITS ego row. Default config must keep the reference
+    role-swapped convention (singlecombat_env.py:118-125)."""
+    import dataclasses
+    from neuralplane_tpu.utils.config import load_config
+
+    cfg_sym = dataclasses.replace(load_config("selfplay"),
+                                  symmetric_side_flag=True)
+    env_ref = SingleCombatEnv(num_envs=4)
+    env_sym = SingleCombatEnv(num_envs=4, config=cfg_sym)
+
+    state, obs_ref = env_ref.reset(jax.random.PRNGKey(7))
+    xdot = env_ref.model.extended_state(state.model)
+    obs_sym = env_sym._obs(state, xdot)
+    o_ref, o_sym = np.asarray(obs_ref), np.asarray(obs_sym)
+    # everything except the side flag identical; ego rows fully identical
+    np.testing.assert_allclose(o_ref[:, :14], o_sym[:, :14], atol=1e-6)
+    np.testing.assert_allclose(o_ref[0::2, 14], o_sym[0::2, 14])
+    # enemy rows under the symmetric convention = own-convention cross:
+    # sign(v_enm x (pos_ego - pos_enm)) on the horizontal plane
+    s = np.asarray(state.model.s)
+    v = np.asarray(xdot[:, :3])
+    dpos = s[0::2, :3] - s[1::2, :3]          # ego - enm
+    own = np.sign(v[1::2, 0] * dpos[:, 1] - v[1::2, 1] * dpos[:, 0])
+    np.testing.assert_allclose(o_sym[1::2, 14], own)
+    # and the reference convention role-swaps it (ego velocity instead)
+    swapped = np.sign(v[0::2, 0] * dpos[:, 1] - v[0::2, 1] * dpos[:, 0])
+    np.testing.assert_allclose(o_ref[1::2, 14], swapped)
+
+
 def test_multiple_combat_runs():
     env = MultipleCombatEnv(num_envs=2)  # 2v2 -> 8 agents
     state, obs = env.reset(jax.random.PRNGKey(2))

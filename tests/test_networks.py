@@ -148,3 +148,25 @@ def test_gru_matches_torch():
                                h_t.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_j)[:, -1], out_t[0].numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_save_dots_same_values_and_grads(params):
+    """remat_save_dots only changes WHAT the BPTT backward stores, never
+    values or gradients (NetSpec.remat_save_dots)."""
+    import dataclasses
+    spec_dots = dataclasses.replace(SPEC, remat_save_dots=True)
+    T, n = 6, 5
+    obs = jax.random.normal(jax.random.PRNGKey(9), (T, n, 10))
+    masks = jnp.ones((T, n, 1))
+    h0 = nets.init_rnn_state(n, SPEC)
+
+    def loss(p, spec):
+        mean, log_std, _ = nets.actor_seq(p, spec, obs, h0, masks)
+        return (mean ** 2).sum() + log_std.sum()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, SPEC))(params["actor"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, spec_dots))(params["actor"])
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g0, g1)

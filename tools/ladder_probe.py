@@ -168,6 +168,11 @@ def main() -> None:
                    "fine-maneuvering policy a measurable home advantage "
                    "(~2.5:1 in an evadable-game mirror); summing both "
                    "orientations cancels it")
+    p.add_argument("--symmetric-side", action="store_true",
+                   help="play on an env with symmetric_side_flag=True "
+                   "(every agent reads obs slot 14 in its own convention; "
+                   "see utils/config.py) - the ablation knob for the "
+                   "home-advantage root cause")
     # network shape must match the checkpoints (train CLI defaults)
     p.add_argument("--hidden-size", default="128 128")
     p.add_argument("--act-hidden-size", default="128 128")
@@ -189,8 +194,13 @@ def main() -> None:
         "MultipleCombatShoot": (MultipleCombatShootEnv,
                                 "multiple_selfplay_shoot"),
     }[args.env]
-    env = env_cls(num_envs=args.num_envs,
-                  config=args.scenario or default_scn)
+    env_config = args.scenario or default_scn
+    if args.symmetric_side:
+        import dataclasses
+        from neuralplane_tpu.utils.config import load_config
+        env_config = dataclasses.replace(load_config(env_config),
+                                         symmetric_side_flag=True)
+    env = env_cls(num_envs=args.num_envs, config=env_config)
     cfg = RLConfig(
         hidden_sizes=tuple(int(x) for x in args.hidden_size.split()),
         act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
