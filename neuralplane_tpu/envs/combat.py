@@ -422,12 +422,16 @@ class MultipleCombatEnv(SingleCombatEnv):
         HBM-heavy hot path at 10^6 agents, results/bench/REPORT.md).
         """
         h = self.half
+        E = R.shape[0]
         _, enemy_idx = self._team_slices()
         eidx = jnp.asarray(enemy_idx)                       # [m, h]
-        R_en = jnp.take_along_axis(
-            R, jnp.broadcast_to(eidx[None], (R.shape[0],) + eidx.shape),
-            axis=2)                                          # [E, m, h]
-        alive_en = alive_g[:, eidx]                          # [E, m, h]
+        # enemy columns by PURE SLICING (the team split is static: each
+        # agent's enemies are the other half) - take_along_axis lowered
+        # to a TPU gather, needlessly dynamic for constant indices
+        R_en = jnp.concatenate([R[:, :h, h:], R[:, h:, :h]], axis=1)
+        alive_en = jnp.concatenate([
+            jnp.broadcast_to(alive_g[:, None, h:], (E, h, h)),
+            jnp.broadcast_to(alive_g[:, None, :h], (E, h, h))], axis=1)
         key = jnp.where(alive_en, R_en, jnp.inf)
         idx = jnp.broadcast_to(eidx[None], key.shape)
         if h <= 4:
@@ -499,18 +503,20 @@ class MultipleCombatEnv(SingleCombatEnv):
         planar_pack, (AO3, TA3, R3) = self._all_pairs_both(pos_g, vel_g)
         perm, key_sorted = self._nearest_enemy_perm(R3, alive_g)
 
-        # nearest-alive-threat damage (pre-step liveness on both sides)
+        # nearest-alive-threat damage (pre-step liveness on both sides).
+        # All per-target selections are one-hot contractions over the
+        # group axis (m is tiny and static; TPU gathers of per-row
+        # dynamic indices lower to scalar loops)
         target = perm[:, :, 0]                               # [E, m]
         has_target = jnp.isfinite(key_sorted[:, :, 0])
         rows = jnp.arange(m)
-        AO_t = jnp.take_along_axis(AO3, target[:, :, None],
-                                   axis=2)[:, :, 0]          # [E, m]
-        R_t = jnp.take_along_axis(R3, target[:, :, None], axis=2)[:, :, 0]
+        victim_onehot = (target[:, :, None] == rows[None, None, :])
+        v_f = victim_onehot.astype(AO3.dtype)                # [E, m, m]
+        AO_t = jnp.einsum("eij,eij->ei", AO3, v_f)           # [E, m]
+        R_t = jnp.einsum("eij,eij->ei", R3, v_f)
         dmg = (orientation_fn(AO_t) * distance_fn(R_t * FT / 1000.0)
                * alive_g * has_target)                       # [E, m]
-        victim_onehot = (target[:, :, None] == rows[None, None, :])
-        incoming = jnp.einsum("eij,ei->ej", victim_onehot.astype(dmg.dtype),
-                              dmg)
+        incoming = jnp.einsum("eij,ei->ej", v_f, dmg)
 
         state, w_incoming, w_dealt, r_adj, w_info = self._weapon_phase(
             state, mstate, xdot, alive_g, fire, perm, key_sorted, AO_t)
@@ -526,7 +532,7 @@ class MultipleCombatEnv(SingleCombatEnv):
         done, bad, exceed, info = self._team_termination(
             new_state, xdot, alive_post_g, dist=R3)
         # team-shared reward: alive-masked posture vs nearest alive enemy
-        TA_t = jnp.take_along_axis(TA3, target[:, :, None], axis=2)[:, :, 0]
+        TA_t = jnp.einsum("eij,eij->ei", TA3, v_f)
         posture = (0.01 * orientation_reward(AO_t, TA_t)
                    * range_reward(self.config.target_dist, R_t * FT / 1000.0)
                    * alive_g * has_target)                   # [E, m]
@@ -581,20 +587,22 @@ class MultipleCombatEnv(SingleCombatEnv):
         alt_g = self._group(s[:, 2])
         dvx = (vu_g[:, None, :] - vu_g[:, :, None]) * FT / 340.0  # [E,m,m]
         dalt = (alt_g[:, None, :] - alt_g[:, :, None]) * FT / 1000.0
-        # ONE stacked feature tensor -> one gather per block (the six
-        # separate take_along_axis passes were HBM-bound at scale)
+        # ONE stacked feature tensor; each block is a one-hot contraction
+        # over the (tiny, static-size) group axis - six separate
+        # take_along_axis passes lowered to HBM-bound TPU gathers
         feats_all = jnp.stack([dvx, dalt, AO, TA, R * FT / 10000.0, side],
                               axis=-1)                        # [E,m,m,6]
 
         def block(idx):
             """idx [E or 1, m, k] of within-group agent indices ->
             [E, m, k, 7] relative blocks, dead blocks zeroed."""
-            idxb = jnp.broadcast_to(idx, (E, m, idx.shape[-1]))
-            feats = jnp.take_along_axis(
-                feats_all, idxb[..., None], axis=2)           # [E,m,k,6]
-            alive_bc = jnp.broadcast_to(alive_g[:, None, :], (E, m, m))
-            a_f = jnp.take_along_axis(alive_bc, idxb,
-                                      axis=2).astype(dvx.dtype)
+            onehot = (idx[..., None]
+                      == jnp.arange(m)).astype(dvx.dtype)     # [*,m,k,m]
+            onehot = jnp.broadcast_to(onehot,
+                                      (E, m, idx.shape[-1], m))
+            feats = jnp.einsum("eikj,eijf->eikf", onehot, feats_all)
+            a_f = jnp.einsum("eikj,ej->eik", onehot,
+                             alive_g.astype(dvx.dtype))
             return jnp.concatenate([feats * a_f[..., None], a_f[..., None]],
                                    axis=-1)
 

@@ -142,9 +142,12 @@ class SingleCombatShootEnv(SingleCombatEnv):
             # without these, evasion is unlearnable even with an evadable
             # missile - the [ammo, alert, range] block carries no direction
             slot = jnp.argmin(keyed, axis=1)           # [n]
-            rows = jnp.arange(self.n)
-            mpos = inc_pos[rows, slot]                 # [n, 3]
-            mvel = mis.vel[opp][rows, slot]
+            # nearest-threat selection as a one-hot contraction (per-row
+            # dynamic gathers lower to scalar loops on TPU)
+            soh = (slot[:, None]
+                   == jnp.arange(keyed.shape[1])).astype(jnp.float32)
+            mpos = jnp.einsum("nk,nkc->nc", soh, inc_pos)   # [n, 3]
+            mvel = jnp.einsum("nk,nkc->nc", soh, mis.vel[opp])
             dpos = mpos - my_pos
             brg = jnp.arctan2(dpos[:, 1], dpos[:, 0])  # atan2(east, north)
             rel_brg = wrap_PI(brg - state.model.s[:, 5])
@@ -326,11 +329,18 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
         alive = alive_g.reshape(-1)
         dt_e = self.inner_steps * cfg.dt
 
-        # flight toward the LOCKED victim (stored within-group index)
-        base = (jnp.arange(n) // m) * m                       # [n]
-        tgt_flat = (base[:, None] + state.missile_target).reshape(-1)
-        tgt_pos = mstate.s[tgt_flat, :3].reshape(n, K, 3)
-        tgt_vel = xdot[tgt_flat, :3].reshape(n, K, 3)
+        # flight toward the LOCKED victim (stored within-group index);
+        # victim positions/velocities via a one-hot contraction over the
+        # tiny group axis (per-row dynamic gathers lower to scalar loops
+        # on TPU)
+        mt_oh = (state.missile_target.reshape(E, m, K)[..., None]
+                 == jnp.arange(m)).astype(jnp.float32)        # [E,m,K,m]
+        pos_g = mstate.s[:, :3].reshape(E, m, 3)
+        vel_g = xdot[:, :3].reshape(E, m, 3)
+        tgt_pos = jnp.einsum("eikj,ejc->eikc", mt_oh,
+                             pos_g).reshape(n, K, 3)
+        tgt_vel = jnp.einsum("eikj,ejc->eikc", mt_oh,
+                             vel_g).reshape(n, K, 3)
         missiles, hits, pk = step_missiles(
             state.missiles, tgt_pos, tgt_vel,
             dt=dt_e, speed=cfg.missile_speed, nav_gain=cfg.missile_nav_gain,
@@ -364,15 +374,13 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
         # damage: one-hot over the locked victims (pre-launch targets —
         # a missile cannot hit on its launch step); corpses take nothing;
         # pk grades the warhead when the proximity fuse is on
-        victim_alive = alive[(base[:, None]
-                              + state.missile_target).reshape(-1)]
-        eff = hits & victim_alive.reshape(n, K)               # [n, K]
-        pk_eff = pk * victim_alive.reshape(n, K)              # [n, K]
-        onehot = (state.missile_target[..., None]
-                  == jnp.arange(m)[None, None, :])            # [n, K, m]
-        per_victim = (pk_eff[..., None] * onehot).sum(1)      # [n, m]
-        w_incoming = (cfg.missile_damage
-                      * per_victim.reshape(E, m, m).sum(1))   # [E, m]
+        victim_alive = (jnp.einsum("eikj,ej->eik", mt_oh,
+                                   alive_g.astype(jnp.float32))
+                        > 0.5).reshape(n, K)
+        eff = hits & victim_alive                             # [n, K]
+        pk_eff = pk * victim_alive                            # [n, K]
+        w_incoming = cfg.missile_damage * jnp.einsum(
+            "eikj,eik->ej", mt_oh, pk_eff.reshape(E, m, K))   # [E, m]
         w_dealt = cfg.missile_damage * pk_eff.sum(1).reshape(E, m)
 
         # team-shared launch cost (reward stays identical across the team)
@@ -428,9 +436,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
             slot = jnp.argmin(kf, axis=-1)                    # [E, m]
             mpos_f = pos_g.reshape(E, m * K, 3)
             mvel_f = mis.vel.reshape(E, m, K, 3).reshape(E, m * K, 3)
-            erows = jnp.arange(E)[:, None]
-            mpos = mpos_f[erows, slot]                        # [E, m, 3]
-            mvel = mvel_f[erows, slot]
+            # nearest-threat selection as a one-hot contraction (dynamic
+            # per-row gathers lower to scalar loops on TPU)
+            soh = (slot[..., None]
+                   == jnp.arange(m * K)).astype(jnp.float32)  # [E,m,mK]
+            mpos = jnp.einsum("evs,esc->evc", soh, mpos_f)    # [E, m, 3]
+            mvel = jnp.einsum("evs,esc->evc", soh, mvel_f)
             my_vel = self._group(xdot[:, :3])                 # [E, m, 3]
             heading = self._group(state.model.s[:, 5])        # [E, m]
             dpos = mpos - my_pos

@@ -128,3 +128,22 @@ def test_event_scoring_requires_active(tmp_path):
     runner = SelfplayRunner(NoActiveEnv(), cfg, run_dir=str(tmp_path))
     with pytest.raises(ValueError, match="eval_event_scoring"):
         runner.eval_elo(num_steps=3)
+
+
+def test_event_scoring_on_real_team_env(tmp_path):
+    """Integration: the event-scoring eval program compiles and runs on
+    the real 2v2 team env under the MAPPO runner (short horizon -> no
+    completed episodes -> all-tie, rating unchanged, zero events)."""
+    from neuralplane_tpu.envs import MultipleCombatEnv
+    from neuralplane_tpu.runner import MAPPOSelfplayRunner
+
+    cfg = RLConfig(buffer_size=4, data_chunk_length=4, ppo_epoch=1,
+                   num_mini_batch=1, hidden_sizes=(16,), act_hidden_sizes=(8,),
+                   recurrent_hidden_size=8, n_choose_opponents=1,
+                   save_interval=100, log_interval=1,
+                   eval_stochastic=True, eval_event_scoring=True)
+    env = MultipleCombatEnv(num_envs=2)
+    runner = MAPPOSelfplayRunner(env, cfg, run_dir=str(tmp_path))
+    out = runner.eval_elo(num_steps=4)
+    assert out["eval_wins"] == 0.0 and out["eval_losses"] == 0.0
+    assert out["latest_elo"] == pytest.approx(1000.0)
