@@ -395,7 +395,12 @@ class MultipleCombatShootEnv(MultipleCombatEnv):
         # (a 399 ft CPA logs as a "hit"), so evadable-run hit RATES are
         # not comparable to binary-fuse runs' - compare pk_sum/launches
         info = {"shoot/launches": can.sum(), "shoot/hits": eff.sum(),
-                "shoot/pk_sum": pk_eff.sum()}
+                "shoot/pk_sum": pk_eff.sum(),
+                # per-agent vectors for tools/pk_probe.py (same contract
+                # as the 1v1 env): who fired, and the pk each agent's
+                # missiles delivered this step
+                "shoot/fire_vec": can,
+                "shoot/pk_dealt_vec": pk_eff.sum(1)}
         state = state.replace(missiles=missiles, ammo=ammo,
                               cooldown=cooldown,
                               missile_target=missile_target)

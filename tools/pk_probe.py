@@ -105,6 +105,11 @@ def main() -> None:
                    help="'random' = fresh random-init actor, else a pool "
                    "checkpoint name")
     p.add_argument("--scenario", default="selfplay_shoot_evadable")
+    p.add_argument("--env", default="SingleCombatShoot",
+                   choices=["SingleCombatShoot", "MultipleCombatShoot"],
+                   help="team probe: MultipleCombatShoot + a multiple_* "
+                   "scenario measures TEAM evasion (per-side Pk from the "
+                   "same fire_vec/pk_dealt_vec contract)")
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--seed", type=int, default=0)
@@ -119,10 +124,12 @@ def main() -> None:
     enable_persistent_cache()
     from neuralplane_tpu.algorithms.ppo import PPOPolicy
     from neuralplane_tpu.algorithms.rl_config import RLConfig
-    from neuralplane_tpu.envs import SingleCombatShootEnv
+    from neuralplane_tpu.envs import (MultipleCombatShootEnv,
+                                      SingleCombatShootEnv)
 
-    env = SingleCombatShootEnv(num_envs=args.num_envs,
-                               config=args.scenario)
+    env_cls = (MultipleCombatShootEnv if args.env == "MultipleCombatShoot"
+               else SingleCombatShootEnv)
+    env = env_cls(num_envs=args.num_envs, config=args.scenario)
     cfg = RLConfig(
         hidden_sizes=tuple(int(x) for x in args.hidden_size.split()),
         act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
