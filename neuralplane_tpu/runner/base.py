@@ -87,6 +87,26 @@ class Runner:
         if os.path.isdir(path):
             path = os.path.join(path, "checkpoints", "state_latest.pkl")
         blob = load_pytree(path)
+        if "train_state" not in blob:
+            # Actor-only checkpoint (a pool actor_k.pkl or a committed
+            # results/*/policy_checkpoint.pkl): graft the actor subtree onto
+            # the freshly-initialized params and rebuild optimizer state.
+            # Critic/opt restart from scratch - the value function relearns
+            # quickly against a fixed policy; step restarts at 0 (callers
+            # track cumulative budget across legs themselves).
+            actor = jax.tree_util.tree_map(jnp.asarray, blob)
+            want = jax.tree_util.tree_structure(
+                self.train_state.params["actor"])
+            got = jax.tree_util.tree_structure(actor)
+            if want != got:
+                raise ValueError(
+                    f"actor-only checkpoint {path} does not match this "
+                    f"policy's actor structure:\n got {got}\nwant {want}")
+            params = dict(self.train_state.params)
+            params["actor"] = actor
+            self.train_state = self.trainer.init_state(params)
+            self._restored_extras = {}
+            return
         restored = jax.tree_util.tree_map(jnp.asarray, blob["train_state"])
         self.train_state = TrainState(**{
             f: getattr(restored, f) for f in ("params", "opt_state", "step")})

@@ -15,4 +15,4 @@ python -m neuralplane_tpu.scripts.supervise \
     --buffer-size 1000 --num-mini-batch 5 --ppo-epoch 16 \
     --lr 3e-4 --gamma 0.99 --entropy-coef 1e-3 --max-grad-norm 2 \
     --data-chunk-length 8 --log-interval 1 --save-interval 20 \
-    --model-dir runs/mappo_3v3_shoot/leg_2/checkpoints/state_latest.pkl
+    --model-dir results/mappo_3v3_shoot/policy_checkpoint.pkl

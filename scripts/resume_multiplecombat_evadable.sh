@@ -6,7 +6,9 @@
 # latest_elo at init through the whole first 1e9 - results/
 # mappo_2v2_evadable/REPORT.md) and the faster PPO update
 # (--remat-save-dots + the round-5 trainer/env optimizations).
-# The opponent pool imports from the previous run's checkpoints dir.
+# Resume source: the committed actor-only results checkpoint (the round-4
+# runs/ tree did not survive the VM; Runner.restore grafts an actor-only
+# pkl onto a fresh critic/optimizer and the pool reseeds from it).
 python -m neuralplane_tpu.scripts.supervise \
     --run-dir runs/mappo_2v2_evadable_r5 --stall-timeout 600 -- \
     --env-name MultipleCombatShoot \
@@ -19,4 +21,4 @@ python -m neuralplane_tpu.scripts.supervise \
     --buffer-size 1000 --num-mini-batch 5 --ppo-epoch 16 \
     --lr 3e-4 --gamma 0.99 --entropy-coef 1e-3 --max-grad-norm 2 \
     --data-chunk-length 8 --log-interval 1 --save-interval 20 \
-    --model-dir runs/mappo_2v2_evadable/leg_0/checkpoints/state_latest.pkl
+    --model-dir results/mappo_2v2_evadable/policy_checkpoint.pkl

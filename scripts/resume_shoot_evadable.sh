@@ -17,4 +17,4 @@ python -m neuralplane_tpu.scripts.supervise \
     --buffer-size 1000 --num-mini-batch 5 --ppo-epoch 16 \
     --lr 3e-4 --gamma 0.99 --entropy-coef 1e-3 --max-grad-norm 2 \
     --data-chunk-length 8 --log-interval 1 --save-interval 20 \
-    --model-dir runs/evadable_cont_fsp/leg_0/checkpoints/state_latest.pkl
+    --model-dir results/evadable_pfsp_ab/fsp_final_checkpoint.pkl
