@@ -182,7 +182,9 @@ def render_combat(args) -> None:
     half = env.num_agents // 2
     cfg = RLConfig()
     policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
-                       act_space=getattr(env, "action_space", None))
+                       act_space=getattr(env, "action_space", None),
+                       prior_slots=getattr(env, "shoot_prior_slots",
+                                           (11, 13)))
     ego = (_load_actor_params(policy, args.checkpoint) if args.checkpoint
            else policy.init_params(jax.random.PRNGKey(0)))
     enm = (_load_actor_params(policy, args.opponent) if args.opponent else ego)

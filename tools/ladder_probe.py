@@ -206,8 +206,13 @@ def main() -> None:
         act_hidden_sizes=tuple(int(x) for x in args.act_hidden_size.split()),
         recurrent_hidden_size=args.recurrent_hidden_size,
         use_prior=args.use_prior)
+    # layout-aware Beta-prior slots: the team envs' AO/R live at different
+    # obs offsets than the 1v1's (11, 13) - same threading the runners do
+    # (the round-4 ADVICE catch, runner/base.py:58-62)
     policy = PPOPolicy(cfg, env.num_observation, env.num_actions,
-                       act_space=getattr(env, "action_space", None))
+                       act_space=getattr(env, "action_space", None),
+                       prior_slots=getattr(env, "shoot_prior_slots",
+                                           (11, 13)))
     final = load_actor(args.ckpt_dir, args.final)
 
     rows = []
